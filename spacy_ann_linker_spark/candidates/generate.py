@@ -1,0 +1,150 @@
+"""Candidate generation — the Spark replacement for the nmslib HNSW k-NN
+(reference candidate_generator.py:100-161,228-275; SURVEY.md J1-J4, T1, U1).
+
+Instead of a driver-local graph index, candidates come from a distributed
+sparse cosine join over the char_wb TF-IDF long-form vectors:
+
+    sim(text, alias) = SUM over shared ngram idx of w_text * w_alias
+
+Both sides are L2-normalized, so the grouped sum IS the exact cosine — this
+is brute-force-exact over every pair sharing at least one vocabulary ngram
+(pairs sharing none have cosine 0 and can never clear any threshold), i.e.
+strictly better recall than HNSW at any efSearch. Physically it is an
+inverted-index equi-join on `idx` + partial-aggregating groupBy: both are
+shuffle-partitioned on key, map-side combined, AQE-skew-handled — the shape
+that survives a 1000-executor 100 TB run.
+
+Reference behaviors preserved:
+  * J4 short-alias bypass: mention text exactly in short_aliases -> single
+    candidate (alias=text, similarity=1.0), similarity search skipped
+    entirely ("bypass replaces", candidate_generator.py:257-259)
+  * J3 similarity = cosine (nmslib 1.0 - cosine-distance, :266-271)
+  * T1 top-k, k=5 default (:37), ordered by similarity desc; ties broken by
+    alias asc for determinism (nmslib tie order is unspecified)
+  * J5 exact-alias fast path (ann_kb.py:244-259) as an opt-in flag: at scale
+    most mentions are verbatim aliases and skip the expensive join
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spacy_ann_linker_spark.kb.build import KnowledgeBase
+from spacy_ann_linker_spark.vectorize import tfidf
+from spacy_ann_linker_spark.vectorize.tfidf import TfidfModel
+
+DEFAULT_K = 5  # candidate_generator.py:37; AnnKnowledgeBase uses k=1 (ann_kb.py:24)
+
+
+@dataclass
+class CandidateModel:
+    """Fitted candidate-generation state: vocab + alias vectors + bypass set.
+
+    Replaces the reference's serialized (TfidfVectorizer, csr_matrix, HNSW
+    index) triple (candidate_generator.py:284-346) with three DataFrames, each
+    checkpointable to a table."""
+
+    tfidf: TfidfModel
+    alias_vectors: DataFrame  # (alias, idx, weight) L2-normalized long form
+    short_aliases: DataFrame  # (alias)
+    aliases: DataFrame  # (alias) distinct fit corpus
+
+    def save(self, path: str) -> None:
+        self.tfidf.save(f"{path}/vocab")
+        self.alias_vectors.write.mode("overwrite").parquet(f"{path}/alias_vectors")
+        self.short_aliases.write.mode("overwrite").parquet(f"{path}/short_aliases")
+        self.aliases.write.mode("overwrite").parquet(f"{path}/aliases")
+
+    @staticmethod
+    def load(spark, path: str) -> "CandidateModel":
+        return CandidateModel(
+            tfidf=TfidfModel.load(spark, f"{path}/vocab"),
+            alias_vectors=spark.read.parquet(f"{path}/alias_vectors"),
+            short_aliases=spark.read.parquet(f"{path}/short_aliases"),
+            aliases=spark.read.parquet(f"{path}/aliases"),
+        )
+
+
+def fit_candidate_model(kb: KnowledgeBase, min_df: int = 2) -> CandidateModel:
+    """Fit TF-IDF over ALL alias strings (short ones included — the reference
+    fits on the full list, candidate_generator.py:119-127; short aliases
+    additionally populate the bypass set)."""
+    aliases = kb.aliases()
+    model = tfidf.fit(aliases, id_col="alias", text_col="alias", min_df=min_df)
+    alias_vectors = tfidf.transform(model, aliases, "alias", "alias")
+    return CandidateModel(
+        tfidf=model,
+        alias_vectors=alias_vectors,
+        short_aliases=kb.short_aliases,
+        aliases=aliases,
+    )
+
+
+def generate_candidates(
+    model: CandidateModel,
+    texts: DataFrame,
+    k: int = DEFAULT_K,
+    exact_fast_path: bool = False,
+) -> DataFrame:
+    """texts(text) [distinct mention strings] ->
+    candidates(text, alias, similarity, rank).
+
+    Callers dedupe mention strings first (pipeline does) — the Spark analog
+    of the reference's mention->alias memo table (ann_linker.py:94-97): each
+    distinct string is scored once no matter how many billions of turns
+    repeat it."""
+    texts = texts.select("text").distinct()
+
+    # J4 short-alias bypass (exact, case-sensitive, total)
+    short_df = model.short_aliases
+    short = (
+        texts.join(short_df, texts.text == short_df["alias"], "inner")
+        .select("text", "alias", F.lit(1.0).alias("similarity"), F.lit(1).alias("rank"))
+    )
+    rest = texts.join(short_df, texts.text == short_df["alias"], "left_anti")
+
+    branches = [short]
+    if exact_fast_path:
+        # J5: verbatim (case-folded) alias hits are cosine-1.0 by construction;
+        # answer them with a broadcast join and keep them out of the big join.
+        alias_lower = model.aliases.withColumn("_al", F.lower("alias"))
+        exact = (
+            rest.withColumn("_tl", F.lower("text"))
+            .join(F.broadcast(alias_lower), F.col("_tl") == F.col("_al"), "inner")
+            .select("text", "alias", F.lit(1.0).alias("similarity"), F.lit(1).alias("rank"))
+        )
+        branches.append(exact)
+        rest = (
+            rest.withColumn("_tl", F.lower("text"))
+            .join(
+                F.broadcast(alias_lower.select("_al").distinct()),
+                F.col("_tl") == F.col("_al"),
+                "left_anti",
+            )
+            .drop("_tl")
+        )
+
+    # J2 similarity join: inverted-index sparse matmul, exact cosine
+    mvecs = tfidf.transform(model.tfidf, rest, "text", "text").withColumnRenamed(
+        "weight", "w_m"
+    )
+    avecs = model.alias_vectors.withColumnRenamed("weight", "w_a")
+    sims = (
+        mvecs.join(avecs, "idx")
+        .groupBy("text", "alias")
+        .agg(F.sum(F.col("w_m") * F.col("w_a")).alias("similarity"))
+    )
+    w = Window.partitionBy("text").orderBy(F.desc("similarity"), F.asc("alias"))
+    topk = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))
+    )
+    branches.append(topk)
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

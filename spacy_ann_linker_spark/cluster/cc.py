@@ -1,0 +1,93 @@
+"""Connected components via alternating large-star / small-star.
+
+Absent in the reference (each mention links independently) — added per
+BASELINE.json north_rule (SURVEY.md J9). Algorithm is the public
+Kiveris/Lattanzi/Mirrokni/Rastogi/Vassilvitskii "Connected Components in
+MapReduce and Beyond" (SOCC'14) alternation, which converges in O(log^2 n)
+rounds on any graph and is the standard shuffle-friendly CC at web scale:
+
+    large-star: every node's higher-id neighbors re-point to its minimum
+    small-star: every node's lower-or-equal neighbors collapse to the minimum
+
+Each round is two groupBy shuffles over the edge set; lineage is cut every
+iteration with localCheckpoint (d: SURVEY.md §4 — iterative plans otherwise
+grow an exponential Catalyst tree). Convergence is detected by an edge-set
+checksum fixpoint, which adds one tiny aggregate action per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    nbrs = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = nbrs.groupBy("src").agg(F.min("dst").alias("_mn"))
+    mins = mins.select("src", F.least(F.col("src"), F.col("_mn")).alias("m"))
+    return (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    canon = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    mins = canon.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = (
+        canon.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    star = mins.select("src", F.col("m").alias("dst"))
+    return relink.union(star).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple:
+    # count + order-independent xor fingerprint (no overflow under ANSI mode)
+    row = edges.selectExpr(
+        "count(1) as n", "bit_xor(xxhash64(src, dst)) as s"
+    ).collect()[0]
+    return (row["n"], row["s"])
+
+
+def connected_components_long(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """edges(src long, dst long) undirected -> (node long, component long)
+    where component = min node id reachable."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged edge set is a star forest: src -> component root
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    return members.union(roots).distinct()
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30) -> DataFrame:
+    """String-keyed wrapper: edges over string node ids ->
+    (node string, component long). Node ids are xxhash64-mapped (deterministic,
+    shuffle-free); singleton nodes never appear in `edges` and are their own
+    component by definition — callers union them in if needed."""
+    ids = edges.select(
+        F.xxhash64(F.col(src)).alias("src"), F.xxhash64(F.col(dst)).alias("dst")
+    )
+    comp = connected_components_long(ids, max_iter=max_iter)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .withColumn("_h", F.xxhash64(F.col("node")))
+    )
+    return nodes.join(comp, nodes._h == comp.node, "inner").select(
+        nodes.node.alias("node"), "component"
+    )

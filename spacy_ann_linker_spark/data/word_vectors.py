@@ -1,0 +1,169 @@
+"""Deterministic word-vector stand-in for en_core_web_md.
+
+The reference embeds entity descriptions and document contexts with spaCy's
+pretrained vectors (`nlp.make_doc(desc).vector`, cli/create_index.py:79-84;
+`doc.vector`, ann_linker.py:108). Those weights are an external artifact; the
+*operators* we must preserve are mean-pool -> cosine -> argmax (SURVEY.md V3,
+V4, J7, T3). This module supplies a frozen, seeded vector function with the
+one property the disambiguation goldens rely on: semantically related tokens
+correlate.
+
+    vector(token) = unit( 0.35 * G("tok:" + token) + sum_t G("topic:" + t) )
+
+where G(key) is a blake2b-seeded standard-normal draw (stable across
+processes, unlike Python's hash()) and t ranges over the topics of `token`
+in a small curated lexicon covering the golden KB's subject areas. Tokens
+outside the lexicon get the pure hash component — near-orthogonal noise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+DIM = 64  # reference default entity_vector_length (ann_kb.py:23)
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+(?:'[a-z]+)?")
+
+# Curated topic lexicon: the en_core_web_md stand-in. Tokens from the golden
+# KB's subject areas; a token may carry several topics.
+_TOPIC_LEXICON: dict[str, tuple[str, ...]] = {
+    # computing / ML / linguistics
+    "machine": ("compsci",),
+    "learning": ("compsci",),
+    "algorithm": ("compsci",),
+    "algorithms": ("compsci",),
+    "statistical": ("compsci", "science"),
+    "statistics": ("compsci", "science"),
+    "computer": ("compsci",),
+    "computers": ("compsci",),
+    "computation": ("compsci",),
+    "programming": ("compsci",),
+    "program": ("compsci",),
+    "software": ("compsci",),
+    "data": ("compsci", "science"),
+    "artificial": ("compsci",),
+    "intelligence": ("compsci",),
+    "nlp": ("compsci", "linguistics"),
+    "language": ("compsci", "linguistics"),
+    "languages": ("compsci", "linguistics"),
+    "linguistics": ("linguistics",),
+    "natural": ("linguistics",),
+    "processing": ("compsci",),
+    "process": ("compsci", "science"),
+    "analyze": ("science",),
+    "analysis": ("science",),
+    "information": ("compsci",),
+    "engineering": ("compsci",),
+    "subset": ("compsci", "science"),
+    "subfield": ("compsci", "science"),
+    "functional": ("compsci",),
+    "lisp": ("compsci",),
+    "types": ("compsci",),
+    "ml": ("compsci",),
+    "models": ("compsci", "science"),
+    "science": ("science",),
+    "scientific": ("science",),
+    "study": ("science",),
+    "research": ("science",),
+    "researched": ("science",),
+    "knowledge": ("science",),
+    "theory": ("science",),
+    # psychology / social (Neuro-linguistic programming, audience segmentation)
+    "pseudoscientific": ("psych",),
+    "communication": ("psych",),
+    "personal": ("psych",),
+    "development": ("psych",),
+    "psychotherapy": ("psych",),
+    "neuro": ("psych",),
+    "behaviors": ("psych",),
+    "behavioral": ("psych",),
+    "psychographics": ("psych",),
+    "social": ("psych",),
+    "people": ("psych",),
+    "marketing": ("psych",),
+    "audience": ("psych",),
+    "audiences": ("psych",),
+    "messages": ("psych",),
+    "health": ("psych",),
+    "campaign": ("psych",),
+    "campaigns": ("psych",),
+    # chemistry / earth science
+    "chemistry": ("chem",),
+    "chemical": ("chem",),
+    "biochemical": ("chem",),
+    "photochemistry": ("chem",),
+    "light": ("chem",),
+    "radiation": ("chem",),
+    "molecules": ("chem",),
+    "molecular": ("chem",),
+    "atoms": ("chem",),
+    "mineral": ("chem",),
+    "minerals": ("chem",),
+    "mineralogy": ("chem",),
+    "geology": ("chem",),
+    "stereochemistry": ("chem",),
+    "environmental": ("chem",),
+    "pollution": ("chem",),
+    "soil": ("chem", "agri"),
+    "water": ("chem",),
+    "air": ("chem",),
+    # agriculture
+    "agronomy": ("agri",),
+    "plants": ("agri",),
+    "plant": ("agri",),
+    "food": ("agri",),
+    "fuel": ("agri",),
+    "fiber": ("agri",),
+    "crop": ("agri",),
+    "irrigation": ("agri",),
+    "breeding": ("agri",),
+    "genetics": ("agri", "science"),
+    "physiology": ("agri", "science"),
+    # decision / operations
+    "decision": ("decision",),
+    "decisions": ("decision",),
+    "utility": ("decision",),
+    "stakeholders": ("decision",),
+    "policy": ("decision",),
+    # systems
+    "operating": ("compsci",),
+    "system": ("compsci",),
+    "systems": ("compsci",),
+}
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercase word tokenizer (spaCy-tokenizer stand-in, frozen)."""
+    if not text:
+        return []
+    return _TOKEN_RE.findall(text.lower())
+
+
+def _hash_gauss(key: str, dim: int = DIM) -> np.ndarray:
+    seed = int.from_bytes(hashlib.blake2b(key.encode("utf-8"), digest_size=8).digest(), "big")
+    return np.random.default_rng(seed).standard_normal(dim)
+
+
+def token_vector(token: str, dim: int = DIM) -> np.ndarray:
+    v = 0.35 * _hash_gauss("tok:" + token, dim)
+    for topic in _TOPIC_LEXICON.get(token, ()):
+        v = v + _hash_gauss("topic:" + topic, dim)
+    n = float(np.linalg.norm(v))
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+def mean_pool(text: str, dim: int = DIM) -> np.ndarray:
+    """spaCy `doc.vector` semantics: mean of token vectors; zero vector for
+    empty/token-less text (spaCy returns zeros there too)."""
+    toks = tokenize(text)
+    if not toks:
+        return np.zeros(dim, dtype=np.float32)
+    return np.mean([token_vector(t, dim) for t in toks], axis=0).astype(np.float32)
+
+
+def word_vector_rows(tokens: list[str], dim: int = DIM) -> list[tuple[str, list[float]]]:
+    """Materialize a `word_vectors(token, vector)` table (FIXTURES.md §4)."""
+    return [(t, token_vector(t, dim).tolist()) for t in sorted(set(tokens))]

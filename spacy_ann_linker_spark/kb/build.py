@@ -1,0 +1,107 @@
+"""KnowledgeBase build stage — the Spark equivalent of `create_index`
+(reference cli/create_index.py:48-114, SURVEY.md §3.1).
+
+The spaCy KnowledgeBase (a driver-local keyed store) becomes two tables:
+
+    kb_entities(id, name, description, label, freq, vector, vnorm)
+    kb_alias_map(alias, entity_id, prior, ent_pos)
+
+plus a `short_aliases(alias)` side table (len < 4, the exact-match bypass
+population, candidate_generator.py:98).
+
+Reference behaviors preserved:
+  * F7 entity dedup, first record per id wins (create_index.py:90-91)
+  * F6 aliases keep only entity ids present in the KB; alias dropped if none
+    remain (create_index.py:94-96)
+  * J6 priors forced UNIFORM over surviving entities — input probabilities
+    ignored (create_index.py:97)
+  * freq hardcoded 100 (create_index.py:68)
+  * V3 entity vector = mean-pooled description embedding
+    (create_index.py:79-84), here from the seeded vector table stand-in
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spacy_ann_linker_spark.link.embedding import embed_texts
+
+SHORT_ALIAS_MAX_LEN = 4  # strict <: len(alias) < 4 (candidate_generator.py:98)
+
+
+@dataclass
+class KnowledgeBase:
+    entities: DataFrame  # id, name, description, label, freq, vector, vnorm
+    alias_map: DataFrame  # alias, entity_id, prior, ent_pos
+    short_aliases: DataFrame  # alias
+
+    def aliases(self) -> DataFrame:
+        """Distinct alias strings — `kb.get_alias_strings()`
+        (create_index.py:104), the vectorizer's fit corpus."""
+        return self.alias_map.select("alias").distinct()
+
+    def save(self, path: str) -> None:
+        self.entities.write.mode("overwrite").parquet(f"{path}/kb_entities")
+        self.alias_map.write.mode("overwrite").parquet(f"{path}/kb_alias_map")
+        self.short_aliases.write.mode("overwrite").parquet(f"{path}/short_aliases")
+
+    @staticmethod
+    def load(spark, path: str) -> "KnowledgeBase":
+        return KnowledgeBase(
+            entities=spark.read.parquet(f"{path}/kb_entities"),
+            alias_map=spark.read.parquet(f"{path}/kb_alias_map"),
+            short_aliases=spark.read.parquet(f"{path}/short_aliases"),
+        )
+
+
+def dedup_entities(entities_df: DataFrame, order_col: str | None = None) -> DataFrame:
+    """F7: first record per id wins. With no explicit order column the input
+    file order is approximated per-partition; at cluster scale "first" needs
+    an explicit ordering column — callers that care pass one."""
+    if order_col is None:
+        entities_df = entities_df.withColumn("_pos", F.monotonically_increasing_id())
+        order_col = "_pos"
+    w = Window.partitionBy("id").orderBy(F.col(order_col).asc())
+    return (
+        entities_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_pos")
+    )
+
+
+def build_alias_map(aliases_df: DataFrame, entities_df: DataFrame) -> DataFrame:
+    """F6 + J6: explode entities, keep only known ids, re-derive uniform
+    priors over the SURVIVING entities (the reference filters first, then
+    sets prior = 1/len(filtered), create_index.py:94-98)."""
+    exploded = aliases_df.select(
+        "alias", F.posexplode("entities").alias("ent_pos", "entity_id")
+    )
+    known = exploded.join(
+        F.broadcast(entities_df.select(F.col("id").alias("entity_id"))), "entity_id", "left_semi"
+    )
+    n_ents = Window.partitionBy("alias")
+    return (
+        known.withColumn("n_ents", F.count(F.lit(1)).over(n_ents))
+        .withColumn("prior", F.lit(1.0) / F.col("n_ents"))
+        .select("alias", "entity_id", "prior", "ent_pos")
+    )
+
+
+def build_kb(entities_df: DataFrame, aliases_df: DataFrame, dim: int = 64) -> KnowledgeBase:
+    """Full KB build: dedup entities, embed descriptions, explode aliases."""
+    ents = dedup_entities(entities_df).withColumn("freq", F.lit(100))
+    vecs = embed_texts(ents.select("id", "description"), "id", "description", dim=dim)
+    ents = ents.join(vecs, "id", "left").withColumn(
+        "vnorm",
+        F.sqrt(F.aggregate("vector", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    alias_map = build_alias_map(aliases_df, ents)
+    short = (
+        alias_map.select("alias")
+        .distinct()
+        .filter(F.length("alias") < SHORT_ALIAS_MAX_LEN)
+    )
+    return KnowledgeBase(entities=ents, alias_map=alias_map, short_aliases=short)

@@ -1,0 +1,127 @@
+"""Linking stage — the Spark re-expression of `AnnLinker.__call__`
+(reference ann_linker.py:63-123; SURVEY.md §3.2, F4, J6-J8, T2-T3).
+
+One declarative lineage per batch of mentions:
+
+    mentions --dedup text--> candidates --sim > threshold--> best alias
+             --alias_map join--> entity candidates
+             --context cosine--> argmax --> links
+
+Reference behaviors preserved:
+  * F4 strict `>` threshold, default 0.7 (ann_linker.py:49,81-83)
+  * F5 no_description_threshold is DEAD CODE in the reference (a list
+    comprehension whose result is discarded, ann_linker.py:84-88) — kept as a
+    config knob, no operator
+  * J8 mention->best-alias memo (`mentions_to_alias_cand`, ann_linker.py:94-97)
+    = the `mention_alias_map` DataFrame returned by `best_aliases`
+  * J7/T3 disambiguation: cosine(entity_vector, context_vector) with +1e-8
+    denominator guard (ann_linker.py:102-110), argmax with first-max-wins on
+    ties = KB insertion order (np.argmax, :119) -> (desc(sim), asc(ent_pos))
+  * disambiguate=False annotates candidates but sets no kb id (:99)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spacy_ann_linker_spark.candidates.generate import CandidateModel, generate_candidates
+from spacy_ann_linker_spark.kb.build import KnowledgeBase
+from spacy_ann_linker_spark.link.embedding import (
+    dot_product,
+    mean_pool_udf,
+    with_vector_norm,
+)
+
+DEFAULT_THRESHOLD = 0.7  # ann_linker.py:49
+
+
+def best_aliases(
+    model: CandidateModel,
+    texts: DataFrame,
+    k: int = 5,
+    threshold: float = DEFAULT_THRESHOLD,
+    exact_fast_path: bool = False,
+) -> DataFrame:
+    """(text, alias, similarity) — best surviving alias per distinct mention
+    string (T2: `alias_candidates[0]` after the strict-> threshold filter).
+    This IS the mention_alias_map memo table (J8)."""
+    cands = generate_candidates(model, texts, k=k, exact_fast_path=exact_fast_path)
+    surviving = cands.filter(F.col("similarity") > F.lit(threshold))
+    w = Window.partitionBy("text").orderBy(F.desc("similarity"), F.asc("rank"), F.asc("alias"))
+    return (
+        surviving.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("text", "alias", "similarity")
+    )
+
+
+def context_vectors(turns: DataFrame, dim: int = 64) -> DataFrame:
+    """V4: per-turn context embedding (the reference's doc.vector — one
+    transcript turn plays the role of one spaCy Doc).
+    -> (conv_id, turn_idx, ctx_vector, ctx_norm)"""
+    out = turns.select(
+        "conv_id", "turn_idx", mean_pool_udf(dim)(F.col("text")).alias("ctx_vector")
+    )
+    return with_vector_norm(out, "ctx_vector", "ctx_norm")
+
+
+def link_mentions(
+    mentions: DataFrame,
+    turns: DataFrame,
+    kb: KnowledgeBase,
+    model: CandidateModel,
+    k: int = 5,
+    threshold: float = DEFAULT_THRESHOLD,
+    disambiguate: bool = True,
+    exact_fast_path: bool = True,
+    dim: int = 64,
+) -> DataFrame:
+    """mentions (MENTION_SCHEMA) + turns (TRANSCRIPT_SCHEMA) -> links.
+
+    Output: (conv_id, turn_idx, mention_id, text, start, end, label, alias,
+    similarity, entity_id, context_similarity). Mentions whose candidates all
+    fall below threshold are absent (reference leaves those spans
+    unannotated, ann_linker.py:90-91)."""
+    texts = mentions.select("text").distinct()
+    mam = best_aliases(model, texts, k=k, threshold=threshold, exact_fast_path=exact_fast_path)
+
+    # J6 alias -> entity expansion with uniform priors
+    cands = mam.join(kb.alias_map, "alias").select(
+        "text", "alias", "similarity", "entity_id", "prior", "ent_pos"
+    )
+
+    matched = mentions.join(cands, "text")
+
+    if not disambiguate:
+        return matched.select(
+            "conv_id", "turn_idx", "mention_id", "text", "start", "end", "label",
+            "alias", "similarity",
+            F.lit(None).cast("string").alias("entity_id"),
+            F.lit(None).cast("double").alias("context_similarity"),
+        )
+
+    ctx = context_vectors(turns, dim=dim)
+    evecs = kb.entities.select(
+        F.col("id").alias("entity_id"), F.col("vector").alias("ent_vector"), "vnorm"
+    )
+    scored = (
+        matched.join(F.broadcast(evecs), "entity_id")
+        .join(ctx, ["conv_id", "turn_idx"])
+        .withColumn(
+            "context_similarity",
+            dot_product(F.col("ent_vector"), F.col("ctx_vector"))
+            / (F.col("vnorm") * F.col("ctx_norm") + F.lit(1e-8)),
+        )
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.desc("context_similarity"), F.asc("ent_pos")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "conv_id", "turn_idx", "mention_id", "text", "start", "end", "label",
+            "alias", "similarity", "entity_id", "context_similarity",
+        )
+    )

@@ -1,38 +1,604 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship linkage pipeline on deterministic synthetic
+transcripts (BASELINE.json input_hint schema). `queries()` exposes every
+SQL-expressible operator from SURVEY.md §2 (+ the training-data extras) over
+the driver testdata tables; `oracle_sql()` gives the DuckDB-equivalent SQL.
+Float columns are rounded identically on both sides so value-hashes match.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+R = 6  # float rounding for cross-engine value-hash stability
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+
+
+# ---------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build golden KB -> link 400 synthetic transcript turns ->
+    entity links (SURVEY.md §3.2 lifecycle, end to end)."""
+    from spacy_ann_linker_spark.data.transcripts import generate_labels, generate_transcripts
+    from spacy_ann_linker_spark.pipeline import build_golden_model, link_transcripts
+
+    model = build_golden_model(spark)
+    turns = generate_transcripts(spark, 400)
+    labels = generate_labels(spark, 400)
+    mentions = labels.select(
+        "conv_id",
+        "turn_idx",
+        F.xxhash64("conv_id", "turn_idx", "start").alias("mention_id"),
+        F.col("mention").alias("text"),
+        "start",
+        "end",
+        F.lit(None).cast("string").alias("label"),
+    )
+    return link_transcripts(model, turns, mentions=mentions)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_a1_ngram_df(spark, sf_dir):
+    from spacy_ann_linker_spark.vectorize import tfidf
+
+    m = tfidf.fit(_docs(spark, sf_dir), "doc_id", "text", min_df=2)
+    return m.vocab.select("ngram", "df")
+
+
+def _q_a2_idf(spark, sf_dir):
+    from spacy_ann_linker_spark.vectorize import tfidf
+
+    m = tfidf.fit(_docs(spark, sf_dir), "doc_id", "text", min_df=2)
+    return m.vocab.select("ngram", "df", F.round("idf", R).alias("idf"))
+
+
+def _q_v2_tfidf_weights(spark, sf_dir):
+    from spacy_ann_linker_spark.vectorize import tfidf
+
+    docs = _docs(spark, sf_dir)
+    m = tfidf.fit(docs, "doc_id", "text", min_df=2)
+    vecs = tfidf.transform(m, docs.filter(F.col("doc_id") < 50), "doc_id", "text")
+    return (
+        vecs.join(m.vocab.select("ngram", "idx"), "idx")
+        .select("doc_id", "ngram", F.round("weight", R).alias("weight"))
+    )
+
+
+def _q_f1_short_tokens(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.text_analysis import _words
+
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(_words(F.col("text"))).alias("token"))
+        .filter(F.length("token") < 4)
+        .distinct()
+    )
+
+
+def _q_t1_cosine_topk(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.similarity_search import cosine_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=3)
+    return out.select("query_id", "item_id", F.round("cosine", R).alias("cosine"), "rank")
+
+
+def _q_t3_argmax_neighbor(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.similarity_search import cosine_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = cosine_topk(emb, queries, k=1)
+    return out.select("query_id", F.col("item_id").alias("nearest_id"))
+
+
+def _q_a4_mean_pool_disambiguation(spark, sf_dir):
+    """A4 + J7 + T3: label centroids by per-dimension mean, then argmax
+    label per vector by cosine (the disambiguation shape)."""
+    from spacy_ann_linker_spark.link.embedding import dot_product
+    from pyspark.sql import Window
+
+    emb = _emb_double(spark, sf_dir)
+    dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pm", lambda s: s["m"]).alias("c_vec"),
+        )
+    )
+    scored = (
+        emb.filter(F.col("vec_id") < 100)
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cosine",
+            dot_product(F.col("embedding"), F.col("c_vec"))
+            / (
+                F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+                * F.sqrt(F.aggregate("c_vec", F.lit(0.0), lambda a, x: a + x * x))
+                + F.lit(1e-12)
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("c_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("pred_label"))
+    )
+
+
+def _q_j5_exact_lookup(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(F.col("c_custkey") <= 1000)
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+
+
+def _q_f6_semi_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(F.col("c_acctbal") > 5000)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_f7_first_wins(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+
+
+def _q_j6_uniform_prior(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    words = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("ws")
+    ).select("doc_id", F.filter("ws", lambda w: w != "").alias("ws"))
+    return words.select(
+        "doc_id",
+        F.explode("ws").alias("word"),
+        F.round(F.lit(1.0) / F.size("ws"), R).alias("prior"),
+    )
+
+
+def _q_u1_branch_union(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    short = docs.filter(F.col("n_chars") < 100).select(
+        "doc_id", F.lit(1.0).alias("score"), F.lit("short").alias("branch")
+    )
+    rest = (
+        docs.join(short.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.round(F.col("n_chars") / 1000.0, R).alias("score"),
+            F.lit("long").alias("branch"),
+        )
+    )
+    return short.unionByName(rest)
+
+
+def _q_t2_topk_per_group(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.sessionize import topk_per_group
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.withColumn("li_key", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    out = topk_per_group(li, "l_returnflag", "l_extendedprice", 3, "li_key")
+    return out.select("l_returnflag", "li_key", "l_extendedprice", "rank")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
+
+
+def _q_token_count(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.text_analysis import token_count
+
+    return token_count(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_quality(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.text_analysis import quality_score
+
+    q = quality_score(_docs(spark, sf_dir), "doc_id", "text")
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        F.round("stopword_ratio", R).alias("stopword_ratio"),
+        F.round("alpha_ratio", R).alias("alpha_ratio"),
+        F.round("mean_token_len", R).alias("mean_token_len"),
+        F.round("quality", R).alias("quality"),
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.text_analysis import lang_id
+
+    return lang_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_fingerprint(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.text_analysis import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_sessionize(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.sessionize import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_stats(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "duration_sec",
+        F.round("total_value", R).alias("total_value"),
+    )
+
+
+def _q_cc(spark, sf_dir):
+    from spacy_ann_linker_spark.cluster.cc import connected_components_long
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(F.col("event_id") < 2000)
+    edges = ev.select(
+        F.col("user_id").alias("src"), (F.col("user_id") % 17).alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    return connected_components_long(edges).select("node", "component")
+
+
+# ---- rows-only (no SQL oracle): engine-hash / approximate / stub operators
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=8)
+
+
+def _q_simhash(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_ivf_topk(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.similarity_search import ivf_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, n_centroids=16, nprobe=4, k=3)
+
+
+def _q_multimodal(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.multimodal import decode_features, synthesize_media
+
+    media = synthesize_media(spark, 200)
+    return decode_features(media, fake=True).select(
+        "media_id", "kind", "n_bytes", "checksum", "width", "height"
+    )
+
+
+def _q_link_transcripts(spark, sf_dir):
+    return entry(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "a1_ngram_document_frequency": _q_a1_ngram_df,
+        "a2_idf_vocabulary": _q_a2_idf,
+        "v2_tfidf_weights": _q_v2_tfidf_weights,
+        "f1_short_tokens": _q_f1_short_tokens,
+        "t1_cosine_topk": _q_t1_cosine_topk,
+        "t3_argmax_neighbor": _q_t3_argmax_neighbor,
+        "a4_mean_pool_disambiguation": _q_a4_mean_pool_disambiguation,
+        "j5_exact_lookup": _q_j5_exact_lookup,
+        "f6_semi_join": _q_f6_semi_join,
+        "f7_first_wins_dedup": _q_f7_first_wins,
+        "j6_uniform_prior": _q_j6_uniform_prior,
+        "u1_branch_union": _q_u1_branch_union,
+        "t2_topk_per_group": _q_t2_topk_per_group,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "text_token_count": _q_token_count,
+        "text_quality_score": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprint": _q_fingerprint,
+        "sessionize_events": _q_sessionize,
+        "cc_components": _q_cc,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
+        "ann_ivf_topk": _q_ivf_topk,
+        "multimodal_decode": _q_multimodal,
+        "link_transcripts": _q_link_transcripts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_GRAMS_CTE = r"""
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, length(' ' || w || ' ') - 2),
+           i -> substring(' ' || w || ' ', i, 3))) AS ngram
+  FROM words
+),
+tf AS (SELECT doc_id, ngram, count(*) AS tf FROM grams GROUP BY doc_id, ngram),
+vocab AS (
+  SELECT ngram, count(*) AS df,
+         ln((1.0 + (SELECT count(*) FROM documents)) / (1.0 + count(*))) + 1.0 AS idf
+  FROM tf GROUP BY ngram HAVING count(*) >= 2
+)
+"""
+
+_COS = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) + 1e-12)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a1_ngram_document_frequency": _GRAMS_CTE + "SELECT ngram, df FROM vocab",
+        "a2_idf_vocabulary": _GRAMS_CTE + "SELECT ngram, df, round(idf, 6) AS idf FROM vocab",
+        "v2_tfidf_weights": _GRAMS_CTE
+        + """
+        , w AS (
+          SELECT tf.doc_id, tf.ngram, tf.tf * vocab.idf AS wgt
+          FROM tf JOIN vocab USING (ngram) WHERE tf.doc_id < 50
+        ), norms AS (
+          SELECT doc_id, sqrt(sum(wgt * wgt)) AS nrm FROM w GROUP BY doc_id
+        )
+        SELECT w.doc_id, w.ngram, round(w.wgt / norms.nrm, 6) AS weight
+        FROM w JOIN norms USING (doc_id)
+        """,
+        "f1_short_tokens": r"""
+        SELECT DISTINCT w AS token FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents
+        ) WHERE w <> '' AND length(w) < 4
+        """,
+        "t1_cosine_topk": f"""
+        SELECT query_id, item_id, round(cosine, 6) AS cosine, rank FROM (
+          SELECT b.vec_id AS query_id, a.vec_id AS item_id, {_COS} AS cosine,
+                 row_number() OVER (PARTITION BY b.vec_id ORDER BY {_COS} DESC, a.vec_id ASC) AS rank
+          FROM embeddings a, embeddings b
+          WHERE b.vec_id < 5 AND a.vec_id <> b.vec_id
+        ) WHERE rank <= 3
+        """,
+        "t3_argmax_neighbor": f"""
+        SELECT query_id, item_id AS nearest_id FROM (
+          SELECT b.vec_id AS query_id, a.vec_id AS item_id,
+                 row_number() OVER (PARTITION BY b.vec_id ORDER BY {_COS} DESC, a.vec_id ASC) AS rank
+          FROM embeddings a, embeddings b
+          WHERE b.vec_id < 20 AND a.vec_id <> b.vec_id
+        ) WHERE rank = 1
+        """,
+        "a4_mean_pool_disambiguation": """
+        WITH dims AS (
+          SELECT label, unnest(embedding) AS v,
+                 unnest(generate_series(1, len(embedding))) AS pos
+          FROM embeddings
+        ), cent AS (
+          SELECT label AS c_label, pos, avg(v) AS m FROM dims GROUP BY label, pos
+        ), cvec AS (
+          SELECT c_label, list(m ORDER BY pos) AS c_vec FROM cent GROUP BY c_label
+        ), scored AS (
+          SELECT e.vec_id, c.c_label,
+                 list_dot_product(e.embedding::DOUBLE[], c.c_vec) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(c.c_vec, c.c_vec)) + 1e-12) AS cosine
+          FROM embeddings e, cvec c WHERE e.vec_id < 100
+        )
+        SELECT vec_id, c_label AS pred_label FROM (
+          SELECT vec_id, c_label,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label ASC) AS rn
+          FROM scored
+        ) WHERE rn = 1
+        """,
+        "j5_exact_lookup": """
+        SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey <= 1000
+        """,
+        "f6_semi_join": """
+        SELECT o_orderstatus, count(*) AS n FROM orders
+        WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+        GROUP BY o_orderstatus
+        """,
+        "f7_first_wins_dedup": """
+        SELECT user_id, event_id FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+          FROM events
+        ) WHERE rn = 1
+        """,
+        "j6_uniform_prior": r"""
+        WITH ws AS (
+          SELECT doc_id,
+                 list_filter(list_distinct(regexp_split_to_array(lower(text), '\s+')),
+                             w -> w <> '') AS ws
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id, unnest(ws) AS word, round(1.0 / len(ws), 6) AS prior FROM ws
+        """,
+        "u1_branch_union": """
+        SELECT doc_id, 1.0 AS score, 'short' AS branch FROM documents WHERE n_chars < 100
+        UNION ALL
+        SELECT doc_id, round(n_chars / 1000.0, 6) AS score, 'long' AS branch
+        FROM documents WHERE n_chars >= 100
+        """,
+        "t2_topk_per_group": """
+        SELECT l_returnflag, li_key, l_extendedprice, rank FROM (
+          SELECT l_returnflag, l_orderkey * 10 + l_linenumber AS li_key, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice DESC,
+                                             l_orderkey * 10 + l_linenumber ASC) AS rank
+          FROM lineitem
+        ) WHERE rank <= 3
+        """,
+        "dedup_exact": r"""
+        SELECT min(doc_id) AS canonical_id, count(*) AS n_dups FROM (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+          FROM documents
+        ) GROUP BY norm
+        """,
+        "dedup_ngram_jaccard": r"""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents WHERE doc_id < 150
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                                       i -> substring(t, i, 3))) AS g
+          FROM norm
+        ), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE shared * 1.0 / (sa.sz + sb.sz - shared) > 0.5
+        """,
+        "text_token_count": r"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')) AS n_tokens,
+               length(text) AS n_chars
+        FROM documents
+        """,
+        "text_quality_score": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+          FROM documents
+        ), m AS (
+          SELECT doc_id, len(ws) AS n,
+                 len(list_filter(ws, w -> list_contains(
+                   ['the','and','of','to','a','in','is','that','for','with'], w))) AS n_stop,
+                 len(list_filter(ws, w -> regexp_full_match(w, '[a-z]+'))) AS n_alpha,
+                 list_sum(list_transform(ws, w -> length(w))) AS char_sum
+          FROM t
+        )
+        SELECT doc_id, n AS n_tokens,
+               round(n_stop * 1.0 / greatest(n, 1), 6) AS stopword_ratio,
+               round(n_alpha * 1.0 / greatest(n, 1), 6) AS alpha_ratio,
+               round(char_sum * 1.0 / greatest(n, 1), 6) AS mean_token_len,
+               round(0.5 * (n_stop * 1.0 / greatest(n, 1))
+                     + 0.5 * (n_alpha * 1.0 / greatest(n, 1)), 6) AS quality
+        FROM m
+        """,
+        "text_lang_id": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+          FROM documents
+        ), hits AS (
+          SELECT doc_id,
+            [struct_pack(neg := -len(list_filter(ws, w -> list_contains(
+               ['der','die','und','das','ist','nicht','mit','ein','von','zu'], w))), lang := 'de'),
+             struct_pack(neg := -len(list_filter(ws, w -> list_contains(
+               ['the','and','of','to','a','in','is','that','for','with'], w))), lang := 'en'),
+             struct_pack(neg := -len(list_filter(ws, w -> list_contains(
+               ['el','la','de','que','y','en','un','por','con','una'], w))), lang := 'es'),
+             struct_pack(neg := -len(list_filter(ws, w -> list_contains(
+               ['le','la','et','les','des','un','une','dans','est','pour'], w))), lang := 'fr')
+            ] AS arr
+          FROM t
+        )
+        SELECT doc_id, list_min(arr).lang AS lang_pred, -list_min(arr).neg AS lang_hits
+        FROM hits
+        """,
+        "text_fingerprint": r"""
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+        """,
+        "sessionize_events": """
+        WITH e AS (
+          SELECT user_id, value, floor(epoch(ts))::BIGINT AS sec FROM events
+        ), g AS (
+          SELECT user_id, sec, value,
+                 CASE WHEN sec - lag(sec) OVER w IS NULL
+                       OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC)
+        ), s AS (
+          SELECT user_id, sec, value,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY sec ASC
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM g
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               max(sec) - min(sec) AS duration_sec,
+               round(sum(value), 6) AS total_value
+        FROM s GROUP BY user_id, session_seq
+        """,
+        "cc_components": """
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT user_id AS a, user_id % 17 AS b FROM events
+          WHERE event_id < 2000 AND user_id <> user_id % 17
+        ), und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+        )
+        SELECT node, min(r) AS component FROM reach GROUP BY node
+        """,
+    }

@@ -1,0 +1,166 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash-LSH, SimHash, embedding-cosine near-dup.
+
+Exact and Jaccard are pure built-ins with DuckDB oracles. MinHash/SimHash use
+engine-specific hashes (xxhash64) so their oracles are rows-only checks; the
+LSH band-join is the 100 TB path (the Jaccard self-join is quadratic per
+shared ngram and exists as the small-scale ground truth the LSH variants are
+validated against in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize(text_col):
+    return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup on normalized text:
+    (canonical_id = min id, n_dups). Map-side combine; one shuffle."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), normalize(F.col(text_col)).alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("canonical_id", "n_dups")
+    )
+
+
+def char_ngrams_col(text_col, n: int = 3):
+    """Distinct character n-grams of normalized text — pure JVM (sequence +
+    transform + substr), no UDF."""
+    norm = normalize(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (id_a < id_b) with
+    jaccard > threshold. Inverted-index self-join: |A ∩ B| via groupBy on
+    shared grams, |A ∪ B| = |A| + |B| - |A ∩ B|."""
+    grams = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(char_ngrams_col(F.col(text_col), n)).alias("g")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "g")
+    b = grams.select(F.col("doc_id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") > F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, seed, minhash): num_hashes permutation-free MinHash values,
+    h_s(doc) = min over grams g of xxhash64(g, s)."""
+    grams = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(char_ngrams_col(F.col(text_col), n)).alias("g")
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        grams.select("doc_id", "g", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.xxhash64("g", "seed")).alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature (rows_per_band =
+    num_hashes/bands), bucket-join on (band, band-signature hash). This is
+    the shingle->minhash->band->bucket-join scale path: cost is linear in
+    corpus size + bucket collisions, never all-pairs."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_keys = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash"))))
+            ).alias("bucket")
+        )
+    )
+    a = band_keys.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = band_keys.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over char n-grams: per-bit majority vote of gram
+    hashes. Bit loop is JVM-side (explode over bit positions), so the whole
+    operator is shuffle + aggregate — no Python."""
+    grams = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(char_ngrams_col(F.col(text_col), n)).alias("g")
+    ).withColumn("h", F.xxhash64("g"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        grams.select("doc_id", "h", bit)
+        .withColumn(
+            "vote",
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force exact; the
+    LSH/IVF-bucketed variant is in similarity_search)."""
+    from spacy_ann_linker_spark.link.embedding import dot_product
+
+    norms = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    a = norms.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = norms.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb") + F.lit(1e-12)))
+        .filter(F.col("cosine") > F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via mapInPandas in Arrow batches.
+
+The decode step is STUBBED (no image/audio libs in this container): with
+`fake=True` it produces a deterministic fake "decode" (shape + checksum
+derived from the bytes) so the Spark-side plumbing — schema, batching,
+partition sizing — is real and tested; with `fake=False` it raises
+NotImplementedError where a cv2/PIL/ffmpeg call would go.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+_FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, checksum string, "
+    "width int, height int, features array<float>"
+)
+
+
+def synthesize_media(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests: payload = seeded bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for gid in pdf["id"]:
+                h = hashlib.blake2b(f"{seed}:{gid}".encode(), digest_size=32).digest()
+                kind = ["image", "audio", "video"][int(gid) % 3]
+                rows.append(
+                    {
+                        "media_id": int(gid),
+                        "kind": kind,
+                        "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                        "payload": h * 8,
+                        "meta": {"seed": str(seed)},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        gen, schema="media_id long, kind string, mime string, payload binary, meta map<string,string>"
+    )
+
+
+def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode + feature-extract each media payload. Arrow-batched
+    mapInPandas: one pandas batch of binary payloads in, one batch of
+    fixed-width feature rows out — the exact shape a real cv2/librosa decode
+    would use (payload bytes never pass through the driver)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires cv2/PIL/librosa — not in this container"
+                )
+            out = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"] or b"")
+                digest = hashlib.blake2b(payload, digest_size=16).hexdigest()
+                w = 16 + (int(digest[:4], 16) % 64)
+                h = 16 + (int(digest[4:8], 16) % 64)
+                feats = [
+                    (int(digest[i : i + 2], 16) / 255.0) for i in range(0, 16, 2)
+                ]
+                out.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "n_bytes": len(payload),
+                        "checksum": digest,
+                        "width": w,
+                        "height": h,
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, schema=_FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling stub: emits (media_id, frame_idx) rows for
+    videos — the explode shape of a real ffmpeg frame extractor."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.lit(every_n - 1))))
+        .select("media_id", "frame_idx")
+    )

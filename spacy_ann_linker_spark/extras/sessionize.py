@@ -1,0 +1,53 @@
+"""Sessionization + generic window/top-k operators over the events table
+(TESTDATA.md). Pure window functions — the lag/cumsum gap-sessionization
+pattern from the public Spark playbook."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids: a session breaks when the gap to the previous
+    event of the same user exceeds gap_minutes.
+    -> events + (session_seq int) where session_seq is 1-based per user."""
+    # parquet NTZ timestamps don't cast straight to long; go via TIMESTAMP
+    # (session TZ pinned UTC so this equals epoch seconds)
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap = sec - F.lag(sec).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn("_new", is_new).withColumn(
+        "session_seq",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("_new")
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session aggregates: event count, duration seconds, total value."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    return s.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(sec) - F.min(sec)).alias("duration_sec"),
+        F.sum("value").alias("total_value"),
+    )
+
+
+def topk_per_group(
+    df: DataFrame, group_col: str, order_col: str, k: int, tiebreak_col: str
+) -> DataFrame:
+    """T1 generalized: row_number <= k per group, deterministic tie-break."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(tiebreak_col))
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (and the semantic ground
+truth the reference's HNSW approximates); IVF coarse quantization is the
+scale path: assign vectors to their nearest of C centroids once (one
+broadcast join), then queries probe only nprobe buckets — candidate set
+shrinks by ~C/nprobe. All dot products are JVM-side zip_with/aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spacy_ann_linker_spark.link.embedding import dot_product
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.col(vec_col).alias(f"{prefix}_v"),
+        F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x)).alias(f"{prefix}_n"),
+    )
+
+
+def cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query, the k nearest items
+    (excluding itself). Queries are broadcast (small side); items stream."""
+    it = _with_norm(items, id_col, vec_col, "item")
+    q = _with_norm(queries, id_col, vec_col, "q")
+    scored = (
+        it.crossJoin(F.broadcast(q))
+        .filter(F.col("item_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            dot_product(F.col("item_v"), F.col("q_v"))
+            / (F.col("item_n") * F.col("q_n") + F.lit(1e-12)),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("item_id"), "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    items: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each item to its nearest centroid (IVF coarse quantizer).
+    centroids: (centroid_id, vector) — small, broadcast."""
+    it = _with_norm(items, id_col, vec_col, "item")
+    c = _with_norm(centroids, "centroid_id", vec_col, "c")
+    scored = it.crossJoin(F.broadcast(c)).withColumn(
+        "cosine",
+        dot_product(F.col("item_v"), F.col("c_v")) / (F.col("item_n") * F.col("c_n") + F.lit(1e-12)),
+    )
+    w = Window.partitionBy("item_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("item_id", F.col("c_id").alias("centroid_id"), F.col("item_v"), F.col("item_n"))
+    )
+
+
+def seeded_centroids(items: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroid pick: the n_centroids items with smallest ids
+    (a k-means init stand-in; swap for KMeans|| when mllib is warranted)."""
+    return (
+        items.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)  # TakeOrderedAndProject — no global sort
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias(vec_col))
+    )
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe nearest centroid buckets per
+    query, exact cosine within. nprobe == n_centroids degenerates to exact."""
+    cents = seeded_centroids(items, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(items, cents, id_col, vec_col)
+    q_assign = (
+        _with_norm(queries, id_col, vec_col, "q")
+        .crossJoin(F.broadcast(_with_norm(cents, "centroid_id", vec_col, "c")))
+        .withColumn(
+            "cosine",
+            dot_product(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n") + F.lit(1e-12)),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    probes = (
+        q_assign.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_v", "q_n", F.col("c_id").alias("centroid_id"))
+    )
+    scored = probes.join(assigned, "centroid_id").filter(F.col("item_id") != F.col("q_id"))
+    scored = scored.withColumn(
+        "cosine",
+        dot_product(F.col("q_v"), F.col("item_v")) / (F.col("q_n") * F.col("item_n") + F.lit(1e-12)),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), "item_id", "cosine", "rank")
+    )

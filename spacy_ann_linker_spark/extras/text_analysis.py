@@ -1,0 +1,94 @@
+"""Text analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language ID, fingerprinting.
+
+Everything here is JVM-side built-ins (split/filter/size/aggregate) — no
+Python in the hot path, so these run at full whole-stage-codegen speed over
+100 TB of documents. Each has a DuckDB-expressible oracle in
+__spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists (public common words)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "una"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "dans", "est", "pour"],
+}
+
+
+def _words(text_col):
+    """lowercased whitespace tokens, empties removed (matches
+    regexp_split_to_array(lower(x), '\\s+') + filter in the oracle)."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != "")
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_chars) — whitespace token count + char length."""
+    return df.select(
+        F.col(id_col),
+        F.size(_words(F.col(text_col))).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality: stopword ratio, alpha-token ratio, mean
+    token length; score = mix. All ratios are exact rational arithmetic over
+    token arrays -> reproducible in ANSI SQL."""
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("^[a-z]+$")))
+    mean_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n, F.lit(1))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        (n_stop / F.greatest(n, F.lit(1))).alias("stopword_ratio"),
+        (n_alpha / F.greatest(n, F.lit(1))).alias("alpha_ratio"),
+        mean_len.alias("mean_token_len"),
+        (
+            0.5 * (n_stop / F.greatest(n, F.lit(1)))
+            + 0.5 * (n_alpha / F.greatest(n, F.lit(1)))
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """n-gram-free heuristic language ID: argmax of per-language stopword
+    hits (ties broken by language code asc). Deterministic, SQL-expressible."""
+    words = _words(F.col(text_col))
+    hit_cols = []
+    for lang, stops in sorted(LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in stops])
+        hit_cols.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: F.array_contains(arr, w))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct(hits, lang): max hits, ties -> max lang; invert lang
+    # ordering by using min over struct(-hits, lang) for deterministic asc ties
+    best = F.array_min(
+        F.array(*[F.struct((-h["hits"]).alias("neg"), h["lang"].alias("lang")) for h in hit_cols])
+    )
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("lang_pred"),
+        (-best["neg"]).alias("lang_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    (md5 exists in both Spark and DuckDB -> exact cross-engine oracle; a
+    rolling/shingle hash variant lives in dedup.minhash_signatures.)"""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

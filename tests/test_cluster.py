@@ -1,0 +1,84 @@
+"""Connected-components correctness (SURVEY.md J9)."""
+
+from pyspark.sql import functions as F
+
+from spacy_ann_linker_spark.cluster.cc import connected_components, connected_components_long
+
+
+def _components_of(rows):
+    comps = {}
+    for r in rows:
+        comps.setdefault(r["component"], set()).add(r["node"])
+    return sorted(frozenset(v) for v in comps.values())
+
+
+def test_two_chains(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], "src long, dst long"
+    )
+    got = _components_of(connected_components_long(edges).collect())
+    assert got == sorted([frozenset({1, 2, 3, 4}), frozenset({10, 11, 12})])
+
+
+def test_component_label_is_min(spark):
+    edges = spark.createDataFrame([(5, 9), (9, 2), (7, 7), (3, 2)], "src long, dst long")
+    rows = connected_components_long(edges).collect()
+    labels = {r["node"]: r["component"] for r in rows}
+    assert labels[5] == labels[9] == labels[2] == labels[3] == 2
+    assert 7 not in labels  # self-loop-only node dropped (singleton)
+
+
+def test_star_and_cycle(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (20, 21), (21, 22), (22, 20)], "src long, dst long"
+    )
+    got = _components_of(connected_components_long(edges).collect())
+    assert got == sorted([frozenset({1, 2, 3, 4}), frozenset({20, 21, 22})])
+
+
+def test_string_nodes(spark):
+    edges = spark.createDataFrame(
+        [("m:nlp", "e:a3"), ("m:NLP", "e:a3"), ("m:ml", "e:a1")], "src string, dst string"
+    )
+    rows = connected_components(edges).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["node"])
+    comps = sorted(frozenset(v) for v in by_comp.values())
+    assert comps == sorted(
+        [frozenset({"m:nlp", "m:NLP", "e:a3"}), frozenset({"m:ml", "e:a1"})]
+    )
+
+
+def test_large_random_graph_matches_networkx_free_oracle(spark):
+    # union-find oracle in plain python
+    import random
+
+    rnd = random.Random(7)
+    edges = [(rnd.randint(0, 200), rnd.randint(0, 200)) for _ in range(300)]
+    parent = list(range(201))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    nodes_in_edges = {n for e in edges for n in e if e[0] != e[1]}
+    for n in nodes_in_edges:
+        want.setdefault(find(n), set()).add(n)
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = connected_components_long(df).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["component"], set()).add(r["node"])
+    assert sorted(map(frozenset, got.values())) == sorted(map(frozenset, want.values()))

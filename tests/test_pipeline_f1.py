@@ -13,7 +13,12 @@ N_TURNS = 1500
 
 
 @pytest.fixture(scope="module")
-def linked(spark, golden_model):
+def linked(spark):
+    # production config: min_df=1 (rich vectors — the reference's min_df=2
+    # default collapses the 18-alias toy corpus) + Jaro-Winkler typo rescue
+    from spacy_ann_linker_spark.pipeline import build_golden_model
+
+    model = build_golden_model(spark, min_df=1)
     turns = generate_transcripts(spark, N_TURNS)
     labels = generate_labels(spark, N_TURNS).cache()
     mentions = labels.select(
@@ -25,17 +30,16 @@ def linked(spark, golden_model):
         "end",
         F.lit(None).cast("string").alias("label"),
     )
-    links = link_transcripts(golden_model, turns, mentions=mentions).cache()
+    links = link_transcripts(model, turns, mentions=mentions, fuzzy_rescue=True).cache()
     return links, labels
 
 
 def test_pairwise_f1_target(linked):
     links, labels = linked
     m = pairwise_f1(links, labels)
-    # BASELINE target is 0.99 — enforce a floor now, ratchet up as the
-    # pipeline improves (typo'd ambiguous-alias mentions are the gap).
-    assert m["f1"] >= 0.93, m
-    assert m["precision"] >= 0.93, m
+    # BASELINE.json target: pairwise F1 >= 0.99 at shared blocking key
+    assert m["f1"] >= 0.99, m
+    assert m["precision"] >= 0.99, m
 
 
 def test_clustering_links_mentions_of_same_entity(linked):

@@ -1,0 +1,32 @@
+"""Jaro-Winkler goldens (public textbook values) + fuzzy-rescue behavior."""
+
+import pytest
+
+from spacy_ann_linker_spark.functions.stringsim import jaro, jaro_winkler
+
+
+def test_jaro_textbook_values():
+    assert jaro("martha", "marhta") == pytest.approx(0.944444, abs=1e-5)
+    assert jaro("dixon", "dicksonx") == pytest.approx(0.766667, abs=1e-5)
+    assert jaro("", "abc") == 0.0
+    assert jaro("abc", "abc") == 1.0
+
+
+def test_jaro_winkler_textbook_values():
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.961111, abs=1e-5)
+    assert jaro_winkler("dixon", "dicksonx") == pytest.approx(0.813333, abs=1e-5)
+    assert jaro_winkler("research", "reserch") > 0.9
+
+
+def test_fuzzy_rescue_recovers_typos(spark):
+    from spacy_ann_linker_spark.link.linker import best_aliases
+    from spacy_ann_linker_spark.pipeline import build_golden_model
+
+    model = build_golden_model(spark, min_df=1).cand
+    # "Reserh" scores cosine 0.622 (< 0.7, dropped) but JW 0.95 (rescued)
+    t = spark.createDataFrame([("Reserh",), ("Machine learning",)], "text string")
+    no_rescue = best_aliases(model, t, threshold=0.7, fuzzy_rescue=False).collect()
+    rescued = best_aliases(model, t, threshold=0.7, fuzzy_rescue=True).collect()
+    assert {r["text"] for r in no_rescue} == {"Machine learning"}
+    got = {r["text"]: r["alias"] for r in rescued}
+    assert got == {"Reserh": "Research", "Machine learning": "Machine learning"}

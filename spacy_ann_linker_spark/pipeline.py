@@ -83,6 +83,83 @@ def link_transcripts(
     )
 
 
+def run_checkpointed_linkage(
+    spark: SparkSession,
+    ckpt_root: str,
+    turns: DataFrame,
+    mentions: DataFrame,
+    entities_df: DataFrame | None = None,
+    aliases_df: DataFrame | None = None,
+    input_snapshot: str = "",
+    threshold: float = 0.7,
+    k: int = 5,
+    min_df: int = 1,
+    fuzzy_rescue: bool = True,
+    dim: int = 64,
+) -> DataFrame:
+    """Full linkage job with per-stage checkpoint/lineage/metrics (north_rule
+    resume semantics): kill the job after any stage, re-run with the same
+    inputs, and committed stages are skipped byte-identically.
+
+    Stage DAG (each committed as a table via plans.checkpoint):
+        kb_entities -> kb_alias_map -> vocab/alias_vectors
+        mentions ----^                                   \\
+        turns ------------------------------------> links -> clusters
+    """
+    from spacy_ann_linker_spark.candidates.generate import CandidateModel, fit_candidate_model
+    from spacy_ann_linker_spark.kb.build import SHORT_ALIAS_MAX_LEN
+    from spacy_ann_linker_spark.plans.checkpoint import CheckpointManager
+    from spacy_ann_linker_spark.vectorize.tfidf import TfidfModel
+
+    if entities_df is None:
+        entities_df = golden_kb.load_entities(spark)
+    if aliases_df is None:
+        aliases_df = golden_kb.load_aliases(spark)
+
+    cm = CheckpointManager(spark, ckpt_root)
+    cfg = {"threshold": threshold, "k": k, "min_df": min_df, "dim": dim,
+           "fuzzy_rescue": fuzzy_rescue, "snapshot": input_snapshot}
+
+    kb0 = build_kb(entities_df, aliases_df, dim=dim)
+    ents = cm.stage("kb_entities", {"cfg": cfg}, lambda: kb0.entities)
+    fp_ents = cm.fingerprint_of("kb_entities")
+    amap = cm.stage("kb_alias_map", {"up": fp_ents}, lambda: kb0.alias_map)
+    fp_amap = cm.fingerprint_of("kb_alias_map")
+    kb = KnowledgeBase(
+        entities=ents,
+        alias_map=amap,
+        short_aliases=amap.select("alias").distinct().filter(
+            F.length("alias") < SHORT_ALIAS_MAX_LEN
+        ),
+    )
+
+    cand0 = fit_candidate_model(kb, min_df=min_df)
+    vocab = cm.stage("vocab", {"up": fp_amap, "min_df": min_df}, lambda: cand0.tfidf.vocab)
+    fp_vocab = cm.fingerprint_of("vocab")
+    avecs = cm.stage("alias_vectors", {"up": fp_vocab}, lambda: cand0.alias_vectors)
+    cand = CandidateModel(
+        tfidf=TfidfModel(vocab=vocab, min_df=min_df),
+        alias_vectors=avecs,
+        short_aliases=kb.short_aliases,
+        aliases=kb.aliases(),
+    )
+
+    model = LinkageModel(kb=kb, cand=cand)
+    fp_avecs = cm.fingerprint_of("alias_vectors")
+    links = cm.stage(
+        "links",
+        {"up": [fp_avecs, fp_ents], "cfg": cfg},
+        lambda: link_transcripts(
+            model, turns, mentions=mentions, k=k, threshold=threshold,
+            fuzzy_rescue=fuzzy_rescue, dim=dim,
+        ),
+    )
+    clusters = cm.stage(
+        "clusters", {"up": cm.fingerprint_of("links")}, lambda: cluster_links(links)
+    )
+    return clusters
+
+
 def cluster_links(links: DataFrame, max_iter: int = 30) -> DataFrame:
     """J9: transitive clustering of accepted matches. Nodes are mention
     surface strings ("m:" prefix) and entity ids ("e:" prefix); edges are the

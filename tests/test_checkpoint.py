@@ -1,0 +1,107 @@
+"""Checkpoint/lineage/resume semantics (north_rule; SURVEY.md §5 item 6):
+kill after stage N, re-run, committed stages skip and output is identical."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_ann_linker_spark.data.transcripts import generate_labels, generate_transcripts
+from spacy_ann_linker_spark.pipeline import run_checkpointed_linkage
+from spacy_ann_linker_spark.plans.checkpoint import CheckpointManager
+
+
+def _mentions(labels):
+    return labels.select(
+        "conv_id",
+        "turn_idx",
+        F.xxhash64("conv_id", "turn_idx", "start").alias("mention_id"),
+        F.col("mention").alias("text"),
+        "start",
+        "end",
+        F.lit(None).cast("string").alias("label"),
+    )
+
+
+def test_stage_commit_and_skip(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    cm = CheckpointManager(spark, root)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(10).withColumnRenamed("id", "x")
+
+    a = cm.stage("s1", {"v": 1}, build)
+    assert a.count() == 10 and len(calls) == 1
+    b = cm.stage("s1", {"v": 1}, build)  # same fingerprint -> skip
+    assert b.count() == 10 and len(calls) == 1
+    c = cm.stage("s1", {"v": 2}, build)  # changed input -> rebuild
+    assert c.count() == 10 and len(calls) == 2
+
+    lineage = cm.lineage().collect()
+    events = [r["event"] for r in lineage]
+    assert events.count("commit") == 2 and events.count("resume-skip") == 1
+    metrics = cm.metrics()
+    assert metrics.filter(F.col("metric") == "rows_out").count() == 2
+
+
+def test_full_pipeline_resume_identical(spark, tmp_path):
+    root = str(tmp_path / "pipe")
+    turns = generate_transcripts(spark, 200)
+    labels = generate_labels(spark, 200)
+    m = _mentions(labels)
+
+    c1 = run_checkpointed_linkage(spark, root, turns, m, input_snapshot="s1")
+    rows1 = sorted(map(tuple, c1.collect()))
+
+    # second run: every stage must be a resume-skip, output byte-identical
+    c2 = run_checkpointed_linkage(spark, root, turns, m, input_snapshot="s1")
+    rows2 = sorted(map(tuple, c2.collect()))
+    assert rows1 == rows2
+
+    cm = CheckpointManager(spark, root)
+    lineage = cm.lineage().collect()
+    skips = [r for r in lineage if r["event"] == "resume-skip"]
+    commits = [r for r in lineage if r["event"] == "commit"]
+    assert len(commits) == 6  # six stages committed once
+    assert len(skips) == 6  # and all six skipped on re-run
+
+
+def test_mid_pipeline_resume_after_kill(spark, tmp_path):
+    """Simulate a kill after the vocab stage: later stage dirs absent, early
+    manifests present -> re-run rebuilds only the missing tail."""
+    root = str(tmp_path / "kill")
+    turns = generate_transcripts(spark, 160)
+    labels = generate_labels(spark, 160)
+    m = _mentions(labels)
+    run_checkpointed_linkage(spark, root, turns, m, input_snapshot="s1")
+
+    # "kill": wipe the links+clusters stages as if the job died there
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "links"))
+    shutil.rmtree(os.path.join(root, "clusters"))
+
+    c = run_checkpointed_linkage(spark, root, turns, m, input_snapshot="s1")
+    assert c.count() > 0
+    cm = CheckpointManager(spark, root)
+    lineage = [json.loads(json.dumps(r.asDict())) for r in cm.lineage().collect()]
+    last_events = [r["event"] for r in lineage]
+    # second run: 4 early stages skip, links+clusters recommit
+    assert last_events.count("commit") == 6 + 2
+    assert last_events.count("resume-skip") == 4
+
+
+def test_snapshot_change_invalidates(spark, tmp_path):
+    root = str(tmp_path / "inv")
+    turns = generate_transcripts(spark, 80)
+    labels = generate_labels(spark, 80)
+    m = _mentions(labels)
+    run_checkpointed_linkage(spark, root, turns, m, input_snapshot="s1")
+    run_checkpointed_linkage(spark, root, turns, m, input_snapshot="s2")
+    cm = CheckpointManager(spark, root)
+    commits = [r for r in cm.lineage().collect() if r["event"] == "commit"]
+    # kb_entities depends on snapshot -> recommitted; chain invalidates all
+    assert len(commits) == 12

@@ -96,7 +96,9 @@ def generate_candidates(
     of the reference's mention->alias memo table (ann_linker.py:94-97): each
     distinct string is scored once no matter how many billions of turns
     repeat it."""
-    texts = texts.select("text").distinct()
+    # distinct mention strings feed three branches (short join, anti-join,
+    # vectorize) — persist so the dedup shuffle runs once
+    texts = texts.select("text").distinct().persist()
 
     # J4 short-alias bypass (exact, case-sensitive, total)
     short_df = model.short_aliases

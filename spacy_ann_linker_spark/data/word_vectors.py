@@ -18,6 +18,7 @@ outside the lexicon get the pure hash component — near-orthogonal noise.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 
@@ -175,7 +176,10 @@ def _load_entity_tokens() -> dict[str, tuple[str, ...]]:
 _ENTITY_TOKENS = _load_entity_tokens()
 
 
+@functools.lru_cache(maxsize=1 << 18)
 def token_vector(token: str, dim: int = DIM) -> np.ndarray:
+    """Cached per executor: transcript token vocabulary is tiny relative to
+    turn count, and Generator construction dominates the uncached cost."""
     v = 0.35 * _hash_gauss("tok:" + token, dim)
     for topic in _TOPIC_LEXICON.get(token, ()):
         v = v + _hash_gauss("topic:" + topic, dim)

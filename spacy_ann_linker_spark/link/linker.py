@@ -65,6 +65,9 @@ def best_aliases(
     )
     if not fuzzy_rescue:
         return best
+    # the pre-rescue result feeds both the anti-join and the union — persist
+    # so the candidate-join subtree runs once, not per consumer
+    best = best.persist()
 
     from spacy_ann_linker_spark.functions.stringsim import jaro_winkler_udf
 
@@ -120,6 +123,9 @@ def link_mentions(
     fall below threshold are absent (reference leaves those spans
     unannotated, ann_linker.py:90-91)."""
     texts = mentions.select("text").distinct()
+    # mention_alias_map is tiny (distinct mention strings) but its lineage is
+    # the whole candidate-generation DAG — persist it so downstream joins
+    # don't recompute the similarity join per consumer (J8 memo semantics)
     mam = best_aliases(
         model,
         texts,
@@ -127,7 +133,7 @@ def link_mentions(
         threshold=threshold,
         exact_fast_path=exact_fast_path,
         fuzzy_rescue=fuzzy_rescue,
-    )
+    ).persist()
 
     # J6 alias -> entity expansion with uniform priors
     cands = mam.join(kb.alias_map, "alias").select(
@@ -144,7 +150,13 @@ def link_mentions(
             F.lit(None).cast("double").alias("context_similarity"),
         )
 
-    ctx = context_vectors(turns, dim=dim)
+    # embed context only for turns that still carry a candidate-bearing
+    # mention — at web scale most turns mention nothing and the semi-join
+    # keeps the (python-UDF) embedding stage off them entirely
+    turns_needed = turns.join(
+        matched.select("conv_id", "turn_idx").distinct(), ["conv_id", "turn_idx"], "left_semi"
+    )
+    ctx = context_vectors(turns_needed, dim=dim)
     evecs = kb.entities.select(
         F.col("id").alias("entity_id"), F.col("vector").alias("ent_vector"), "vnorm"
     )

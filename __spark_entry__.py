@@ -291,6 +291,29 @@ def _q_cc(spark, sf_dir):
     return connected_components_long(edges).select("node", "component")
 
 
+def _q_salted_group_count(spark, sf_dir):
+    from spacy_ann_linker_spark.operators.salted import salted_count_by_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return salted_count_by_key(ev, "user_id", salt_buckets=16)
+
+
+def _q_prefix_block_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.lower(F.substring("text", 1, 8)).alias("_bk"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.lower(F.substring("text", 1, 8)).alias("_bk"))
+    return a.join(b, "_bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+
+def _q_event_time_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), R).alias("total"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "event_type", "n", "total")
+    )
+
+
 # ---- rows-only (no SQL oracle): engine-hash / approximate / stub operators
 
 
@@ -351,6 +374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "sessionize_events": _q_sessionize,
         "cc_components": _q_cc,
+        "salted_group_count": _q_salted_group_count,
+        "prefix_block_pairs": _q_prefix_block_pairs,
+        "event_time_window": _q_event_time_window,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "ann_ivf_topk": _q_ivf_topk,
@@ -587,6 +613,21 @@ def oracle_sql() -> dict[str, str]:
                max(sec) - min(sec) AS duration_sec,
                round(sum(value), 6) AS total_value
         FROM s GROUP BY user_id, session_seq
+        """,
+        "salted_group_count": """
+        SELECT user_id, count(*) AS count FROM events GROUP BY user_id
+        """,
+        "prefix_block_pairs": """
+        WITH k AS (
+          SELECT doc_id, lower(substring(text, 1, 8)) AS bk FROM documents WHERE doc_id < 100
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM k a JOIN k b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        """,
+        "event_time_window": """
+        SELECT time_bucket(INTERVAL '1 hour', ts)::VARCHAR AS window_start,
+               event_type, count(*) AS n, round(sum(value), 6) AS total
+        FROM events GROUP BY 1, 2
         """,
         "cc_components": """
         WITH RECURSIVE edges AS (

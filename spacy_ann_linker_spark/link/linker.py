@@ -94,6 +94,24 @@ def best_aliases(
     return best.unionByName(rescued)
 
 
+def kb_get_candidates(
+    model: CandidateModel,
+    kb: KnowledgeBase,
+    texts: DataFrame,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """`AnnKnowledgeBase.get_candidates(alias)` parity (ann_kb.py:244-259,
+    SURVEY.md §3.4): exact alias hit -> KB candidates directly; otherwise
+    nearest alias by similarity (k=1, ann_kb.py:24) and recurse — here one
+    declarative plan: best alias per text (exact fast path included), then
+    alias->entity expansion.
+    -> (text, alias, similarity, entity_id, prior, ent_pos)"""
+    best = best_aliases(model, texts, k=1, threshold=threshold, exact_fast_path=True)
+    return best.join(kb.alias_map, "alias").select(
+        "text", "alias", "similarity", "entity_id", "prior", "ent_pos"
+    )
+
+
 def context_vectors(turns: DataFrame, dim: int = 64) -> DataFrame:
     """V4: per-turn context embedding (the reference's doc.vector — one
     transcript turn plays the role of one spaCy Doc).

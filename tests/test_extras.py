@@ -1,0 +1,99 @@
+"""Extras: dedup family cross-validation, similarity search, multimodal
+plumbing, ann_kb get_candidates parity wrapper."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_minhash_lsh_finds_exact_jaccard_pairs(spark):
+    """LSH candidate pairs must cover the high-Jaccard ground truth."""
+    from spacy_ann_linker_spark.extras.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog!"),  # near-dup of 1
+        (3, "a completely different sentence about spark sql"),
+        (4, "a completely different sentence about spark sql engines"),  # near-dup of 3
+        (5, "nothing like the others at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.7).collect()
+    }
+    assert truth == {(1, 2), (3, 4)}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, "doc_id", "text").collect()}
+    assert truth <= lsh  # full recall on the high-similarity pairs
+
+
+def test_simhash_similar_docs_low_hamming(spark):
+    from spacy_ann_linker_spark.extras.dedup import simhash
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy hog"),
+            (3, "entirely unrelated words describing quantum chemistry"),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    ham12 = bin((h[1] ^ h[2]) & (2**64 - 1)).count("1")
+    ham13 = bin((h[1] ^ h[3]) & (2**64 - 1)).count("1")
+    # short docs give high-variance signatures: assert the relative ordering
+    # (near-dup pair closer than unrelated pair) with a margin
+    assert ham12 + 8 <= ham13
+
+
+def test_ivf_matches_bruteforce_at_full_probe(spark):
+    from spacy_ann_linker_spark.extras.similarity_search import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    brute = {(r["query_id"], r["rank"]): r["item_id"] for r in cosine_topk(emb, q, k=3).collect()}
+    full_probe = {
+        (r["query_id"], r["rank"]): r["item_id"]
+        for r in ivf_topk(emb, q, n_centroids=8, nprobe=8, k=3).collect()
+    }
+    assert brute == full_probe  # nprobe == n_centroids degenerates to exact
+
+
+def test_multimodal_decode_plumbing(spark):
+    from spacy_ann_linker_spark.extras.multimodal import (
+        decode_features,
+        frame_sample,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 30)
+    feats = decode_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == 8 and r["n_bytes"] == 256 for r in rows)
+    # deterministic: same payload -> same checksum on re-run
+    again = {r["media_id"]: r["checksum"] for r in decode_features(media, fake=True).collect()}
+    assert all(again[r["media_id"]] == r["checksum"] for r in rows)
+    frames = frame_sample(media, every_n=5)
+    assert frames.count() == 10 * 5  # 10 videos x 5 frames
+
+
+def test_multimodal_real_decode_raises(spark):
+    from spacy_ann_linker_spark.extras.multimodal import decode_features, synthesize_media
+
+    media = synthesize_media(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_features(media, fake=False).collect()
+
+
+def test_kb_get_candidates_parity(spark, golden_model):
+    """ann_kb golden (tests/test_ann_kb.py:48-51) through the public wrapper."""
+    from spacy_ann_linker_spark.link.linker import kb_get_candidates
+
+    t = spark.createDataFrame([("research",), ("researched",)], "text string")
+    rows = kb_get_candidates(golden_model.cand, golden_model.kb, t).collect()
+    by_text = {r["text"]: r for r in rows}
+    assert by_text["research"]["entity_id"] == "a15"
+    assert by_text["researched"]["alias"] == "Research"
+    assert by_text["researched"]["entity_id"] == "a15"

@@ -1,0 +1,68 @@
+"""Physical-plan audits (SURVEY.md §4): predicate pushdown reaches the
+parquet scan, dimension joins broadcast, no cartesian products sneak into
+the linkage plan. These assert on explain() output — the properties that
+decide whether the same plan survives a 100 TB input."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_extendedprice")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]" in plan
+    # column pruning: scan schema carries only the two referenced columns
+    assert "l_comment" not in plan
+
+
+def test_exact_lookup_broadcasts_dimension(spark):
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["j5_exact_lookup"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_transform_broadcasts_vocab(spark, golden_model):
+    from spacy_ann_linker_spark.vectorize import tfidf
+
+    texts = spark.createDataFrame([("research",)], "text string")
+    out = tfidf.transform(golden_model.cand.tfidf, texts, "text", "text")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_link_plan_has_no_cartesian_product(spark, golden_model):
+    from spacy_ann_linker_spark.data.transcripts import generate_transcripts
+    from spacy_ann_linker_spark.pipeline import link_transcripts
+    from spacy_ann_linker_spark.mentions.extract import extract_mentions
+
+    turns = generate_transcripts(spark, 32)
+    mentions = extract_mentions(turns, ["Research", "ML"])
+    links = link_transcripts(golden_model, turns, mentions=mentions, fuzzy_rescue=True)
+    plan = _plan(links)
+    assert "CartesianProduct" not in plan
+    # entity-vector dimension join is broadcast (linker.py broadcasts evecs)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_candidate_join_partial_aggregates(spark, golden_model):
+    """The sparse-matmul groupBy must map-side combine (partial HashAggregate
+    before the exchange) — the property that keeps the shuffle linear in
+    distinct (text, alias) pairs, not in raw join output rows."""
+    from spacy_ann_linker_spark.candidates.generate import generate_candidates
+
+    texts = spark.createDataFrame([("research",), ("statistics",)], "text string")
+    cands = generate_candidates(golden_model.cand, texts, k=5)
+    plan = _plan(cands)
+    assert plan.count("HashAggregate") >= 2  # partial + final

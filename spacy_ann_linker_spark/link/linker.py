@@ -82,6 +82,9 @@ def best_aliases(
         .withColumn("_tlen", F.length("text"))
         .join(F.broadcast(aliases), "_bk")
         .filter(F.abs(F.col("_tlen") - F.col("_alen")) <= 4)
+        # Levenshtein prefilter (JVM built-in, with early-exit bound) before
+        # the pandas-UDF Jaro-Winkler — north_star's JW/Levenshtein pair
+        .filter(F.levenshtein(F.lower("text"), F.lower("alias"), 8) >= 0)
         .withColumn("similarity", jaro_winkler_udf(F.col("text"), F.col("alias")))
         .filter(F.col("similarity") > F.lit(jw_threshold))
     )

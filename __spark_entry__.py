@@ -291,6 +291,67 @@ def _q_cc(spark, sf_dir):
     return connected_components_long(edges).select("node", "component")
 
 
+def _q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary — the classic multi-agg groupBy, exercising
+    whole-stage codegen + map-side partial aggregation on the fact table."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), R).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), R).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), R
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), R).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), R).alias("avg_price"),
+            F.round(F.avg("l_discount"), R).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q3_lite(spark, sf_dir):
+    """Q3-shaped join-agg: segment-filtered customers x orders x lineitem,
+    revenue per order — exercises join reordering + broadcast of the
+    filtered dimension."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R).alias("revenue")
+        )
+        .select(
+            "o_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"), "revenue"
+        )
+    )
+
+
+def _q_rollup_revenue(spark, sf_dir):
+    """Grouping-sets surface: rollup over (returnflag, linestatus) with
+    grouping ids — beyond the reference (N/A in SURVEY §2.11) but table
+    stakes for an analytics engine."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), R).alias("rev"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "rev",
+            "n",
+        )
+    )
+
+
 def _q_salted_group_count(spark, sf_dir):
     from spacy_ann_linker_spark.operators.salted import salted_count_by_key
 
@@ -374,6 +435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "sessionize_events": _q_sessionize,
         "cc_components": _q_cc,
+        "tpch_q1_pricing_summary": _q_tpch_q1,
+        "tpch_q3_lite_revenue": _q_tpch_q3_lite,
+        "rollup_revenue": _q_rollup_revenue,
         "salted_group_count": _q_salted_group_count,
         "prefix_block_pairs": _q_prefix_block_pairs,
         "event_time_window": _q_event_time_window,
@@ -613,6 +677,35 @@ def oracle_sql() -> dict[str, str]:
                max(sec) - min(sec) AS duration_sec,
                round(sum(value), 6) AS total_value
         FROM s GROUP BY user_id, session_seq
+        """,
+        "tpch_q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 6) AS sum_qty,
+               round(sum(l_extendedprice), 6) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_lite_revenue": """
+        SELECT o_orderkey, o_orderdate::VARCHAR AS o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        """,
+        "rollup_revenue": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               round(sum(l_extendedprice), 6) AS rev, count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "salted_group_count": """
         SELECT user_id, count(*) AS count FROM events GROUP BY user_id

@@ -61,6 +61,37 @@ def link_stream(stream: DataFrame, kb: KnowledgeBase, patterns: list[str]) -> Da
     )
 
 
+def conversation_state_stream(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-conversation progress (turns seen, highest turn_idx), updated every
+    micro-batch. The arbitrary-state surface the reference lacks entirely
+    (its only streaming analog is the stateless minibatch pipe,
+    remote_ann_linker.py:92-120); a transcript engine needs conversation-
+    level state that outlives a single micro-batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, n_turns long, last_turn_idx int"
+    state_schema = "n_turns long, last_turn_idx int"
+
+    def update(key, pdfs, state: GroupState):
+        n, last = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            last = max(last, int(pdf["turn_idx"].max()))
+        state.update((n, last))
+        yield pd.DataFrame(
+            [{"conv_id": key[0], "n_turns": n, "last_turn_idx": last}]
+        )
+
+    return (
+        stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def entity_counts_windowed(
     stream: DataFrame,
     kb: KnowledgeBase,

@@ -54,6 +54,36 @@ def test_link_stream_matches_batch(spark, golden_model, transcript_dir, patterns
     assert g == w
 
 
+def test_conversation_state_stream(spark, transcript_dir):
+    from spacy_ann_linker_spark.streaming.link_stream import conversation_state_stream
+
+    stream = read_transcript_stream(spark, transcript_dir, max_files=2)
+    out = conversation_state_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("conv_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # latest state per conversation must equal the batch ground truth
+    rows = spark.sql(
+        "SELECT conv_id, max(n_turns) AS n, max(last_turn_idx) AS last FROM conv_state GROUP BY conv_id"
+    ).collect()
+    batch = (
+        spark.read.parquet(transcript_dir)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("turn_idx").alias("last"))
+        .collect()
+    )
+    want = {(r["conv_id"], r["n"], r["last"]) for r in batch}
+    got = {(r["conv_id"], r["n"], r["last"]) for r in rows}
+    assert got == want
+
+
 def test_windowed_counts(spark, golden_model, transcript_dir, patterns):
     stream = read_transcript_stream(spark, transcript_dir)
     out = entity_counts_windowed(stream, golden_model.kb, patterns, window="1 hour")

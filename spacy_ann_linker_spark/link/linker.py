@@ -181,6 +181,12 @@ def link_mentions(
     evecs = kb.entities.select(
         F.col("id").alias("entity_id"), F.col("vector").alias("ent_vector"), "vnorm"
     )
+    out_cols = [
+        "conv_id", "turn_idx", "mention_id", "text", "start", "end", "label",
+        "alias", "similarity", "entity_id", "context_similarity",
+    ]
+    # drop both vector arrays the moment the cosine is computed — they must
+    # not ride through the argmax shuffle
     scored = (
         matched.join(F.broadcast(evecs), "entity_id")
         .join(ctx, ["conv_id", "turn_idx"])
@@ -189,15 +195,19 @@ def link_mentions(
             dot_product(F.col("ent_vector"), F.col("ctx_vector"))
             / (F.col("vnorm") * F.col("ctx_norm") + F.lit(1e-8)),
         )
+        .select(*out_cols, "ent_pos")
     )
-    w = Window.partitionBy("mention_id").orderBy(
-        F.desc("context_similarity"), F.asc("ent_pos")
-    )
+    # T3 argmax as max_by (hash aggregate with map-side combine) instead of
+    # a sort window: same result — max context_similarity, first-max-wins on
+    # ties via lowest ent_pos (np.argmax order, ann_linker.py:119) — at a
+    # fraction of the shuffle+sort cost
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "conv_id", "turn_idx", "mention_id", "text", "start", "end", "label",
-            "alias", "similarity", "entity_id", "context_similarity",
+        scored.groupBy("mention_id")
+        .agg(
+            F.max_by(
+                F.struct(*out_cols),
+                F.struct(F.col("context_similarity"), (-F.col("ent_pos")).alias("np")),
+            ).alias("_b")
         )
+        .select("_b.*")
     )

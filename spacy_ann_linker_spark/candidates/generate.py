@@ -83,19 +83,13 @@ def fit_candidate_model(kb: KnowledgeBase, min_df: int = 2) -> CandidateModel:
     )
 
 
-def generate_candidates(
-    model: CandidateModel,
-    texts: DataFrame,
-    k: int = DEFAULT_K,
-    exact_fast_path: bool = False,
-) -> DataFrame:
-    """texts(text) [distinct mention strings] ->
-    candidates(text, alias, similarity, rank).
-
-    Callers dedupe mention strings first (pipeline does) — the Spark analog
-    of the reference's mention->alias memo table (ann_linker.py:94-97): each
-    distinct string is scored once no matter how many billions of turns
-    repeat it."""
+def _candidate_branches(
+    model: CandidateModel, texts: DataFrame, exact_fast_path: bool
+) -> tuple[DataFrame, DataFrame | None, DataFrame]:
+    """Shared branch plumbing: (short-bypass rows, exact-fast-path rows or
+    None, raw similarity rows). Branches are disjoint by text (each anti-join
+    removes the previous branch's population — U1 "bypass replaces"
+    semantics, candidate_generator.py:253-275)."""
     # distinct mention strings feed three branches (short join, anti-join,
     # vectorize) — persist so the dedup shuffle runs once
     texts = texts.select("text").distinct().persist()
@@ -104,11 +98,11 @@ def generate_candidates(
     short_df = model.short_aliases
     short = (
         texts.join(short_df, texts.text == short_df["alias"], "inner")
-        .select("text", "alias", F.lit(1.0).alias("similarity"), F.lit(1).alias("rank"))
+        .select("text", "alias", F.lit(1.0).alias("similarity"))
     )
     rest = texts.join(short_df, texts.text == short_df["alias"], "left_anti")
 
-    branches = [short]
+    exact = None
     if exact_fast_path:
         # J5: verbatim (case-folded) alias hits are cosine-1.0 by construction;
         # answer them with a broadcast join and keep them out of the big join.
@@ -116,9 +110,8 @@ def generate_candidates(
         exact = (
             rest.withColumn("_tl", F.lower("text"))
             .join(F.broadcast(alias_lower), F.col("_tl") == F.col("_al"), "inner")
-            .select("text", "alias", F.lit(1.0).alias("similarity"), F.lit(1).alias("rank"))
+            .select("text", "alias", F.lit(1.0).alias("similarity"))
         )
-        branches.append(exact)
         rest = (
             rest.withColumn("_tl", F.lower("text"))
             .join(
@@ -139,14 +132,63 @@ def generate_candidates(
         .groupBy("text", "alias")
         .agg(F.sum(F.col("w_m") * F.col("w_a")).alias("similarity"))
     )
+    return short, exact, sims
+
+
+def generate_candidates(
+    model: CandidateModel,
+    texts: DataFrame,
+    k: int = DEFAULT_K,
+    exact_fast_path: bool = False,
+) -> DataFrame:
+    """texts(text) [distinct mention strings] ->
+    candidates(text, alias, similarity, rank).
+
+    Callers dedupe mention strings first (pipeline does) — the Spark analog
+    of the reference's mention->alias memo table (ann_linker.py:94-97): each
+    distinct string is scored once no matter how many billions of turns
+    repeat it."""
+    short, exact, sims = _candidate_branches(model, texts, exact_fast_path)
     w = Window.partitionBy("text").orderBy(F.desc("similarity"), F.asc("alias"))
     topk = (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.lit(k))
     )
-    branches.append(topk)
+    out = short.withColumn("rank", F.lit(1))
+    if exact is not None:
+        out = out.unionByName(exact.withColumn("rank", F.lit(1)))
+    return out.unionByName(topk)
 
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+
+def generate_best_candidates(
+    model: CandidateModel,
+    texts: DataFrame,
+    exact_fast_path: bool = False,
+) -> DataFrame:
+    """texts -> (text, alias, similarity): the single best candidate per
+    mention string, computed with hash aggregations (min_by over an ordering
+    struct) instead of a sort window. Equivalent to
+    generate_candidates(...).rank==1 for ANY k (the global argmax is always
+    inside the top-k), so the linking path (T2 picks only
+    alias_candidates[0], ann_linker.py:97) never pays the top-k sort."""
+    short, exact, sims = _candidate_branches(model, texts, exact_fast_path)
+    best_sim = (
+        sims.groupBy("text")
+        .agg(
+            F.min_by(
+                F.struct("alias", "similarity"),
+                F.struct((-F.col("similarity")).alias("s"), F.col("alias").alias("a")),
+            ).alias("_b")
+        )
+        .select("text", F.col("_b.alias").alias("alias"), F.col("_b.similarity").alias("similarity"))
+    )
+    out = short
+    if exact is not None:
+        best_exact = (
+            exact.groupBy("text")
+            .agg(F.min("alias").alias("alias"))
+            .withColumn("similarity", F.lit(1.0))
+            .select("text", "alias", "similarity")
+        )
+        out = out.unionByName(best_exact)
+    return out.unionByName(best_sim)

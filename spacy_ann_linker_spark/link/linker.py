@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spacy_ann_linker_spark.candidates.generate import CandidateModel, generate_candidates
+from spacy_ann_linker_spark.candidates.generate import (
+    CandidateModel,
+    generate_best_candidates,
+)
 from spacy_ann_linker_spark.kb.build import KnowledgeBase
 from spacy_ann_linker_spark.link.embedding import (
     dot_product,
@@ -55,13 +58,11 @@ def best_aliases(
     (same first lowercase character, |length delta| <= 4) — the north_star's
     JW/Levenshtein scoring stage. Char-level edits destroy most of a short
     word's 3-grams (cosine collapses) while JW degrades gracefully."""
-    cands = generate_candidates(model, texts, k=k, exact_fast_path=exact_fast_path)
-    surviving = cands.filter(F.col("similarity") > F.lit(threshold))
-    w = Window.partitionBy("text").orderBy(F.desc("similarity"), F.asc("rank"), F.asc("alias"))
-    best = (
-        surviving.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("text", "alias", "similarity")
+    # global argmax == rank-1 of top-k for any k, so the linking path skips
+    # the top-k sort window entirely (hash aggregations only); strict >
+    # threshold applied after, same as filtering the k-list then taking [0]
+    best = generate_best_candidates(model, texts, exact_fast_path=exact_fast_path).filter(
+        F.col("similarity") > F.lit(threshold)
     )
     if not fuzzy_rescue:
         return best
@@ -88,11 +89,15 @@ def best_aliases(
         .withColumn("similarity", jaro_winkler_udf(F.col("text"), F.col("alias")))
         .filter(F.col("similarity") > F.lit(jw_threshold))
     )
-    wj = Window.partitionBy("text").orderBy(F.desc("similarity"), F.asc("alias"))
     rescued = (
-        blocked.withColumn("_rn", F.row_number().over(wj))
-        .filter(F.col("_rn") == 1)
-        .select("text", "alias", "similarity")
+        blocked.groupBy("text")
+        .agg(
+            F.min_by(
+                F.struct("alias", "similarity"),
+                F.struct((-F.col("similarity")).alias("s"), F.col("alias").alias("a")),
+            ).alias("_b")
+        )
+        .select("text", F.col("_b.alias").alias("alias"), F.col("_b.similarity").alias("similarity"))
     )
     return best.unionByName(rescued)
 

@@ -86,6 +86,44 @@ def _q_v2_tfidf_weights(spark, sf_dir):
     )
 
 
+def _q_f2_nonempty_vector_docs(spark, sf_dir):
+    """F2 empty-vector pruning: documents that RETAIN at least one vocab
+    ngram after min_df filtering (the rows the reference keeps so nmslib
+    doesn't crash, candidate_generator.py:129-146)."""
+    from spacy_ann_linker_spark.vectorize import tfidf
+
+    docs = _docs(spark, sf_dir)
+    m = tfidf.fit(docs, "doc_id", "text", min_df=2)
+    vecs = tfidf.transform(m, docs, "doc_id", "text")
+    return vecs.select("doc_id").distinct()
+
+
+def _q_f4_similarity_threshold(spark, sf_dir):
+    """F4 strict-> threshold filter over cosine pairs (ann_linker.py:81-83
+    semantics on the embeddings table)."""
+    from spacy_ann_linker_spark.link.embedding import dot_product
+
+    emb = _emb_double(spark, sf_dir).filter(F.col("vec_id") < 50)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            dot_product(F.col("va"), F.col("vb"))
+            / (
+                F.sqrt(F.aggregate("va", F.lit(0.0), lambda x, y: x + y * y))
+                * F.sqrt(F.aggregate("vb", F.lit(0.0), lambda x, y: x + y * y))
+                + F.lit(1e-12)
+            ),
+        )
+    )
+    return pairs.filter(F.col("cosine") > F.lit(0.2)).select(
+        "id_a", "id_b", F.round("cosine", R).alias("cosine")
+    )
+
+
 def _q_f1_short_tokens(spark, sf_dir):
     from spacy_ann_linker_spark.extras.text_analysis import _words
 
@@ -418,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_idf_vocabulary": _q_a2_idf,
         "v2_tfidf_weights": _q_v2_tfidf_weights,
         "f1_short_tokens": _q_f1_short_tokens,
+        "f2_nonempty_vector_docs": _q_f2_nonempty_vector_docs,
+        "f4_similarity_threshold": _q_f4_similarity_threshold,
         "t1_cosine_topk": _q_t1_cosine_topk,
         "t3_argmax_neighbor": _q_t3_argmax_neighbor,
         "a4_mean_pool_disambiguation": _q_a4_mean_pool_disambiguation,
@@ -499,6 +539,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT w AS token FROM (
           SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents
         ) WHERE w <> '' AND length(w) < 4
+        """,
+        "f2_nonempty_vector_docs": _GRAMS_CTE
+        + "SELECT DISTINCT doc_id FROM tf JOIN vocab USING (ngram)",
+        "f4_similarity_threshold": f"""
+        SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < 50 AND b.vec_id < 50 AND a.vec_id < b.vec_id
+        ) WHERE cosine > 0.2
         """,
         "t1_cosine_topk": f"""
         SELECT query_id, item_id, round(cosine, 6) AS cosine, rank FROM (

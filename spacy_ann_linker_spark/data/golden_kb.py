@@ -8,23 +8,41 @@ All parity goldens (a3/a15/a1 linking; research->a15) run against it.
 
 from __future__ import annotations
 
-import os
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 
 from spacy_ann_linker_spark.schemas import ALIAS_SCHEMA, ENTITY_SCHEMA
 
-_DATA_DIR = os.path.dirname(os.path.abspath(__file__))
 
-ENTITIES_JSONL = os.path.join(_DATA_DIR, "golden_entities.jsonl")
-ALIASES_JSONL = os.path.join(_DATA_DIR, "golden_aliases.jsonl")
+def read_resource_jsonl(name: str) -> list[dict]:
+    """Zip-safe package-data read (the engine ships as a --py-files zip,
+    where __file__-relative open() fails)."""
+    from importlib.resources import files
+
+    text = files("spacy_ann_linker_spark.data").joinpath(name).read_text()
+    return [json.loads(line) for line in text.splitlines() if line.strip()]
 
 
-def load_entities(spark: SparkSession, path: str = ENTITIES_JSONL) -> DataFrame:
-    """S1: JSONL entity scan with explicit schema (cli/create_index.py:57)."""
-    return spark.read.schema(ENTITY_SCHEMA).json(path)
+def load_entities(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """S1: JSONL entity scan with explicit schema (cli/create_index.py:57).
+    With a path, reads via spark.read.json; default loads the packaged
+    golden fixture (zip-safe)."""
+    if path is not None:
+        return spark.read.schema(ENTITY_SCHEMA).json(path)
+    rows = read_resource_jsonl("golden_entities.jsonl")
+    cols = [f.name for f in ENTITY_SCHEMA.fields]
+    return spark.createDataFrame(
+        [tuple(r.get(c) for c in cols) for r in rows], ENTITY_SCHEMA
+    )
 
 
-def load_aliases(spark: SparkSession, path: str = ALIASES_JSONL) -> DataFrame:
+def load_aliases(spark: SparkSession, path: str | None = None) -> DataFrame:
     """S2: JSONL alias scan with explicit schema (cli/create_index.py:58)."""
-    return spark.read.schema(ALIAS_SCHEMA).json(path)
+    if path is not None:
+        return spark.read.schema(ALIAS_SCHEMA).json(path)
+    rows = read_resource_jsonl("golden_aliases.jsonl")
+    cols = [f.name for f in ALIAS_SCHEMA.fields]
+    return spark.createDataFrame(
+        [tuple(r.get(c) for c in cols) for r in rows], ALIAS_SCHEMA
+    )

@@ -28,8 +28,6 @@ BASELINE.json per-row invariant: `turn_record(seed, gid)` is the oracle.
 from __future__ import annotations
 
 import hashlib
-import json
-import os
 from typing import Iterator
 
 import numpy as np
@@ -37,8 +35,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from spacy_ann_linker_spark.schemas import TRANSCRIPT_SCHEMA
-
-_DATA_DIR = os.path.dirname(os.path.abspath(__file__))
 
 TURNS_PER_CONV = 8
 _EPOCH = pd.Timestamp("2025-01-01 00:00:00")
@@ -50,11 +46,12 @@ _FILLER = (
 
 
 def _load_kb_data() -> tuple[list[dict], dict[str, str]]:
-    """(alias records, entity id -> description) from the golden KB data."""
-    with open(os.path.join(_DATA_DIR, "golden_aliases.jsonl")) as f:
-        aliases = [json.loads(line) for line in f if line.strip()]
-    with open(os.path.join(_DATA_DIR, "golden_entities.jsonl")) as f:
-        descs = {r["id"]: r.get("description", "") for r in (json.loads(l) for l in f if l.strip())}
+    """(alias records, entity id -> description) from the golden KB data
+    (zip-safe package-resource read)."""
+    from spacy_ann_linker_spark.data.golden_kb import read_resource_jsonl
+
+    aliases = read_resource_jsonl("golden_aliases.jsonl")
+    descs = {r["id"]: r.get("description", "") for r in read_resource_jsonl("golden_entities.jsonl")}
     return aliases, descs
 
 

@@ -155,21 +155,16 @@ def _load_entity_tokens() -> dict[str, tuple[str, ...]]:
     matter correlate — exactly the property of en_core_web_md that the
     disambiguation goldens exploit (mean-pool + cosine + argmax are the
     operators under test; the vectors are frozen fixture data)."""
-    import json
-    import os
-
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden_entities.jsonl")
     tok2ents: dict[str, set[str]] = {}
     try:
-        with open(path) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                r = json.loads(line)
-                for t in set(tokenize(r.get("description", ""))):
-                    tok2ents.setdefault(t, set()).add(r["id"])
+        from spacy_ann_linker_spark.data.golden_kb import read_resource_jsonl
+
+        rows = read_resource_jsonl("golden_entities.jsonl")
     except OSError:
         return {}
+    for r in rows:
+        for t in set(tokenize(r.get("description", ""))):
+            tok2ents.setdefault(t, set()).add(r["id"])
     return {t: tuple(sorted(es)) for t, es in tok2ents.items() if len(es) <= 3}
 
 

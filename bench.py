@@ -116,6 +116,15 @@ def run_bench(cpus: int) -> dict:
     clusters = cluster_links(links)
     n_clusters = clusters.select("component").distinct().count()
     timings["cluster_links"] = round(time.perf_counter() - t0, 3)
+
+    # quality alongside speed: pairwise F1 at shared blocking key vs the
+    # generator's gold labels (BASELINE target >= 0.99)
+    from spacy_ann_linker_spark.evaluate import pairwise_f1
+
+    labels = full.filter(F.col("mention").isNotNull()).select(
+        "conv_id", "turn_idx", "mention", "gold_entity", "block_key"
+    )
+    f1 = pairwise_f1(links, labels)
     links.unpersist()
 
     # operator queries over the driver sf tables (skipped in scaling mode —
@@ -146,6 +155,9 @@ def run_bench(cpus: int) -> dict:
         "n_links": n_links,
         "n_clusters": n_clusters,
         "turns_per_sec": round(N_TURNS / t_link, 1),
+        "pairwise_f1": round(f1["f1"], 4),
+        "precision": round(f1["precision"], 4),
+        "recall": round(f1["recall"], 4),
     }
 
 

@@ -137,6 +137,7 @@ def link_mentions(
     model: CandidateModel,
     k: int = 5,
     threshold: float = DEFAULT_THRESHOLD,
+    no_description_threshold: float = 0.95,
     disambiguate: bool = True,
     exact_fast_path: bool = True,
     fuzzy_rescue: bool = False,
@@ -144,6 +145,9 @@ def link_mentions(
 ) -> DataFrame:
     """mentions (MENTION_SCHEMA) + turns (TRANSCRIPT_SCHEMA) -> links.
 
+    no_description_threshold is accepted for config parity and intentionally
+    unused: in the reference it feeds a list comprehension whose result is
+    discarded (dead code, ann_linker.py:50,84-88 — F5).
     Output: (conv_id, turn_idx, mention_id, text, start, end, label, alias,
     similarity, entity_id, context_similarity). Mentions whose candidates all
     fall below threshold are absent (reference leaves those spans

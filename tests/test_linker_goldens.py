@@ -103,6 +103,22 @@ def test_garbage_mention_no_links(spark, golden_model):
     assert link_transcripts(golden_model, turns, mentions=mentions).count() == 0
 
 
+def test_disambiguate_false_annotates_without_kb_id(spark, golden_model):
+    """disambiguate=False: alias candidates annotated, no entity id set
+    (ann_linker.py:99 branch)."""
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", GOLDEN_SENTENCE, "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    mentions = extract_mentions(turns, ["NLP", "machine learning"])
+    out = link_transcripts(
+        golden_model, turns, mentions=mentions, disambiguate=False, exact_fast_path=False
+    ).collect()
+    assert len(out) == 3  # NLP expands to 2 entity candidates... none chosen
+    assert all(r["entity_id"] is None and r["context_similarity"] is None for r in out)
+    assert {r["alias"] for r in out} == {"NLP", "Machine learning"}
+
+
 def test_exact_fast_path_agrees_with_full_join(spark, golden_model):
     turns = spark.createDataFrame(
         [("c1", 0, "user", GOLDEN_SENTENCE, "", None)],

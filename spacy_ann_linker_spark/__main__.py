@@ -1,0 +1,89 @@
+"""CLI — the reference's command surface re-expressed
+(`spacy_ann create_index MODEL KB_DIR OUTPUT_DIR`, cli/__init__.py:14-27,
+SURVEY.md §3.1; `serve` becomes the batch/streaming link job — the HTTP
+boundary disappears, SURVEY.md §3.3).
+
+    python -m spacy_ann_linker_spark create-index \\
+        --entities entities.jsonl --aliases aliases.jsonl --output /models/kb
+    python -m spacy_ann_linker_spark link \\
+        --model /models/kb --turns turns.parquet --output links.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cores: int):
+    from spacy_ann_linker_spark.session import get_spark
+
+    return get_spark(app_name="spacy_ann_linker_spark.cli", cores=cores)
+
+
+def cmd_create_index(args) -> int:
+    """Build KB + candidate model tables from entity/alias JSONL
+    (create_index equivalent: cli/create_index.py:48-114)."""
+    from spacy_ann_linker_spark.candidates.generate import fit_candidate_model
+    from spacy_ann_linker_spark.data import golden_kb
+    from spacy_ann_linker_spark.kb.build import build_kb
+    from spacy_ann_linker_spark.pipeline import LinkageModel
+
+    spark = _spark(args.cores)
+    entities = golden_kb.load_entities(spark, args.entities)
+    aliases = golden_kb.load_aliases(spark, args.aliases)
+    kb = build_kb(entities, aliases, dim=args.dim)
+    model = LinkageModel(kb=kb, cand=fit_candidate_model(kb, min_df=args.min_df))
+    model.save(args.output)
+    n_e = spark.read.parquet(f"{args.output}/kb/kb_entities").count()
+    n_a = spark.read.parquet(f"{args.output}/kb/kb_alias_map").count()
+    print(f"create-index: {n_e} entities, {n_a} alias->entity rows -> {args.output}")
+    return 0
+
+
+def cmd_link(args) -> int:
+    """Link a transcripts parquet against a saved model."""
+    from spacy_ann_linker_spark.pipeline import LinkageModel, link_transcripts
+
+    spark = _spark(args.cores)
+    model = LinkageModel.load(spark, args.model)
+    turns = spark.read.parquet(args.turns)
+    links = link_transcripts(
+        model,
+        turns,
+        threshold=args.threshold,
+        fuzzy_rescue=not args.no_rescue,
+    )
+    links.write.mode("overwrite").parquet(args.output)
+    print(f"link: {spark.read.parquet(args.output).count()} links -> {args.output}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="spacy_ann_linker_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ci = sub.add_parser("create-index", help="build KB + vectorizer tables from JSONL")
+    ci.add_argument("--entities", required=True)
+    ci.add_argument("--aliases", required=True)
+    ci.add_argument("--output", required=True)
+    ci.add_argument("--min-df", type=int, default=2)
+    ci.add_argument("--dim", type=int, default=64)
+    ci.add_argument("--cores", type=int, default=4)
+    ci.set_defaults(fn=cmd_create_index)
+
+    lk = sub.add_parser("link", help="link transcript turns against a saved model")
+    lk.add_argument("--model", required=True)
+    lk.add_argument("--turns", required=True)
+    lk.add_argument("--output", required=True)
+    lk.add_argument("--threshold", type=float, default=0.7)
+    lk.add_argument("--no-rescue", action="store_true")
+    lk.add_argument("--cores", type=int, default=4)
+    lk.set_defaults(fn=cmd_link)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

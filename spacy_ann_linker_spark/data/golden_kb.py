@@ -15,13 +15,20 @@ from pyspark.sql import DataFrame, SparkSession
 from spacy_ann_linker_spark.schemas import ALIAS_SCHEMA, ENTITY_SCHEMA
 
 
-def read_resource_jsonl(name: str) -> list[dict]:
+def _read_golden_kb() -> dict:
     """Zip-safe package-data read (the engine ships as a --py-files zip,
     where __file__-relative open() fails)."""
     from importlib.resources import files
 
-    text = files("spacy_ann_linker_spark.data").joinpath(name).read_text()
-    return [json.loads(line) for line in text.splitlines() if line.strip()]
+    text = files("spacy_ann_linker_spark.data").joinpath("golden_kb.json").read_text()
+    return json.loads(text)
+
+
+def read_resource_jsonl(name: str) -> list[dict]:
+    """Golden-KB record lists by section name ('golden_entities.jsonl' /
+    'golden_aliases.jsonl' kept as logical names for callers)."""
+    doc = _read_golden_kb()
+    return doc["entities"] if "entities" in name else doc["aliases"]
 
 
 def load_entities(spark: SparkSession, path: str | None = None) -> DataFrame:
@@ -30,7 +37,7 @@ def load_entities(spark: SparkSession, path: str | None = None) -> DataFrame:
     golden fixture (zip-safe)."""
     if path is not None:
         return spark.read.schema(ENTITY_SCHEMA).json(path)
-    rows = read_resource_jsonl("golden_entities.jsonl")
+    rows = _read_golden_kb()["entities"]
     cols = [f.name for f in ENTITY_SCHEMA.fields]
     return spark.createDataFrame(
         [tuple(r.get(c) for c in cols) for r in rows], ENTITY_SCHEMA
@@ -41,7 +48,7 @@ def load_aliases(spark: SparkSession, path: str | None = None) -> DataFrame:
     """S2: JSONL alias scan with explicit schema (cli/create_index.py:58)."""
     if path is not None:
         return spark.read.schema(ALIAS_SCHEMA).json(path)
-    rows = read_resource_jsonl("golden_aliases.jsonl")
+    rows = _read_golden_kb()["aliases"]
     cols = [f.name for f in ALIAS_SCHEMA.fields]
     return spark.createDataFrame(
         [tuple(r.get(c) for c in cols) for r in rows], ALIAS_SCHEMA

@@ -83,6 +83,81 @@ def seeded_centroids(items: DataFrame, n_centroids: int, id_col: str = "vec_id",
     )
 
 
+def hyperplane_lsh_buckets(
+    items: DataFrame,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane (cosine) LSH: sign bits of dot products with
+    `n_planes` seeded gaussian hyperplanes, banded into `n_bands` bucket
+    keys. Deterministic (hyperplanes derive from blake2b-seeded draws, no
+    RNG state) and fully JVM-side: the hyperplanes enter the plan as array
+    literals, dots via zip_with/aggregate.
+    -> (item_id, band, bucket)"""
+    import numpy as np
+
+    from spacy_ann_linker_spark.data.word_vectors import _hash_gauss
+
+    # peek dimension from one row (driver-side, once)
+    dim = len(items.select(vec_col).first()[0])
+    planes = [
+        _hash_gauss(f"lshplane:{seed}:{p}", dim).tolist() for p in range(n_planes)
+    ]
+    r = n_planes // n_bands
+
+    bit_cols = []
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot_product(F.col(vec_col), lit_plane)
+        bit_cols.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    sig = F.concat(*bit_cols)
+    out = items.select(F.col(id_col).alias("item_id"), sig.alias("_sig"))
+    bands = out.select(
+        "item_id",
+        "_sig",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn("bucket", F.expr(f"substring(_sig, band * {r} + 1, {r})"))
+    return bands.select("item_id", "band", "bucket")
+
+
+def embedding_lsh_neardup_pairs(
+    items: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup at scale: hyperplane-LSH bucket join for candidate
+    pairs (cost linear in corpus + collisions), exact cosine on candidates
+    only. The brute-force `embedding_neardup_pairs` is the quadratic ground
+    truth this path is validated against in tests."""
+    buckets = hyperplane_lsh_buckets(items, n_planes, n_bands, id_col, vec_col)
+    a = buckets.select(F.col("item_id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("item_id").alias("id_b"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    norms = items.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
+    )
+    return (
+        pairs.join(norms.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
+        .join(norms.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "id_b")
+        .withColumn("cosine", dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb") + F.lit(1e-12)))
+        .filter(F.col("cosine") > F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_topk(
     items: DataFrame,
     queries: DataFrame,

@@ -60,6 +60,36 @@ def test_ivf_matches_bruteforce_at_full_probe(spark):
     assert brute == full_probe  # nprobe == n_centroids degenerates to exact
 
 
+def test_embedding_lsh_neardup_covers_bruteforce(spark):
+    """LSH near-dup pairs must cover the brute-force ground truth at high
+    cosine (16 planes / 4 bands: P[collide in >=1 band] >= 99.9% at cos 0.95)."""
+    import numpy as np
+    from spacy_ann_linker_spark.extras.dedup import embedding_neardup_pairs
+    from spacy_ann_linker_spark.extras.similarity_search import embedding_lsh_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 32))
+    rows = []
+    vid = 0
+    for i in range(40):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((vid, v.tolist())); vid += 1
+        if i % 4 == 0:  # planted near-duplicate
+            w = v + 0.03 * rng.standard_normal(32)
+            w = w / np.linalg.norm(w)
+            rows.append((vid, w.tolist())); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    truth = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert len(truth) >= 8
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_lsh_neardup_pairs(df, threshold=0.95).collect()
+    }
+    assert truth <= lsh
+    # and LSH never reports a pair brute force wouldn't (same exact rescore)
+    assert lsh <= truth
+
+
 def test_multimodal_decode_plumbing(spark):
     from spacy_ann_linker_spark.extras.multimodal import (
         decode_features,

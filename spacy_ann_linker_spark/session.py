@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # AQE may legitimately pick a broadcast for a multi-million-row
+        # dimension (e.g. the distinct-mention candidate map at 10^6+
+        # distinct strings); don't let the default 1g result cap kill it
+        .config("spark.driver.maxResultSize", "6g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -718,8 +718,8 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC)
         ), s AS (
           SELECT user_id, sec, value,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY sec ASC
-                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+                 (sum(is_new) OVER (PARTITION BY user_id ORDER BY sec ASC
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
           FROM g
         )
         SELECT user_id, session_seq, count(*) AS n_events,

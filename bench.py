@@ -122,7 +122,7 @@ def run_bench(cpus: int) -> dict:
     from spacy_ann_linker_spark.evaluate import pairwise_f1
 
     labels = full.filter(F.col("mention").isNotNull()).select(
-        "conv_id", "turn_idx", "mention", "gold_entity", "block_key"
+        "conv_id", "turn_idx", "start", "mention", "gold_entity", "block_key"
     )
     f1 = pairwise_f1(links, labels)
     links.unpersist()

@@ -54,9 +54,13 @@ def main() -> None:
         )
         snapshot = f"synthetic:{args.n_synthetic}:{args.seed}"
     else:
+        from spacy_ann_linker_spark.plans.checkpoint import path_snapshot
+
         turns = spark.read.parquet(args.turns_path)
         mentions = spark.read.parquet(args.mentions_path)
-        snapshot = f"{args.turns_path}|{args.mentions_path}"
+        # data identity, not path strings: re-running after the parquet at
+        # the same path changed must invalidate committed stages
+        snapshot = f"{path_snapshot(args.turns_path)}|{path_snapshot(args.mentions_path)}"
 
     clusters = run_checkpointed_linkage(
         spark,

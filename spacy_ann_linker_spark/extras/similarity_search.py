@@ -85,6 +85,7 @@ def seeded_centroids(items: DataFrame, n_centroids: int, id_col: str = "vec_id",
 
 def hyperplane_lsh_buckets(
     items: DataFrame,
+    dim: int,
     n_planes: int = 16,
     n_bands: int = 4,
     id_col: str = "vec_id",
@@ -95,14 +96,11 @@ def hyperplane_lsh_buckets(
     `n_planes` seeded gaussian hyperplanes, banded into `n_bands` bucket
     keys. Deterministic (hyperplanes derive from blake2b-seeded draws, no
     RNG state) and fully JVM-side: the hyperplanes enter the plan as array
-    literals, dots via zip_with/aggregate.
+    literals, dots via zip_with/aggregate. `dim` is the embedding width —
+    a parameter, not a peeked-first-row driver action, so the operator
+    stays lazy end to end.
     -> (item_id, band, bucket)"""
-    import numpy as np
-
     from spacy_ann_linker_spark.data.word_vectors import _hash_gauss
-
-    # peek dimension from one row (driver-side, once)
-    dim = len(items.select(vec_col).first()[0])
     planes = [
         _hash_gauss(f"lshplane:{seed}:{p}", dim).tolist() for p in range(n_planes)
     ]
@@ -125,6 +123,7 @@ def hyperplane_lsh_buckets(
 
 def embedding_lsh_neardup_pairs(
     items: DataFrame,
+    dim: int,
     threshold: float = 0.9,
     n_planes: int = 16,
     n_bands: int = 4,
@@ -135,7 +134,7 @@ def embedding_lsh_neardup_pairs(
     pairs (cost linear in corpus + collisions), exact cosine on candidates
     only. The brute-force `embedding_neardup_pairs` is the quadratic ground
     truth this path is validated against in tests."""
-    buckets = hyperplane_lsh_buckets(items, n_planes, n_bands, id_col, vec_col)
+    buckets = hyperplane_lsh_buckets(items, dim, n_planes, n_bands, id_col, vec_col)
     a = buckets.select(F.col("item_id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("item_id").alias("id_b"), "band", "bucket")
     pairs = (

@@ -1,9 +1,10 @@
 """Mean-pool text embedding (V3/V4): `nlp.make_doc(text).vector`
 (cli/create_index.py:83; ann_linker.py:108) over the seeded deterministic
-vector function. One Arrow-batched pandas UDF — no per-row Python UDF, no
-join against a vocabulary table in the hot path (the vector function is
-computed in place, so embedding N turns is embarrassingly parallel and
-shuffle-free)."""
+vector function. One Arrow-batched pandas UDF whose inner loop is batched
+numpy (`mean_pool_batch`: one gather + one segmented reduceat per Arrow
+batch) — no per-row Python in the hot path, no join against a vocabulary
+table (the vector function is computed in place, so embedding N turns is
+embarrassingly parallel and shuffle-free)."""
 
 from __future__ import annotations
 
@@ -12,13 +13,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spacy_ann_linker_spark.data.word_vectors import DIM, mean_pool
+from spacy_ann_linker_spark.data.word_vectors import DIM, mean_pool_batch
 
 
 def mean_pool_udf(dim: int = DIM):
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _pool(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: mean_pool(t or "", dim).tolist())
+        return pd.Series(list(mean_pool_batch(texts, dim)))
 
     return _pool
 

@@ -108,7 +108,7 @@ def run_checkpointed_linkage(
     """
     from spacy_ann_linker_spark.candidates.generate import CandidateModel, fit_candidate_model
     from spacy_ann_linker_spark.kb.build import SHORT_ALIAS_MAX_LEN
-    from spacy_ann_linker_spark.plans.checkpoint import CheckpointManager
+    from spacy_ann_linker_spark.plans.checkpoint import CheckpointManager, df_snapshot
     from spacy_ann_linker_spark.vectorize.tfidf import TfidfModel
 
     if entities_df is None:
@@ -119,9 +119,12 @@ def run_checkpointed_linkage(
     cm = CheckpointManager(spark, ckpt_root)
     cfg = {"threshold": threshold, "k": k, "min_df": min_df, "dim": dim,
            "fuzzy_rescue": fuzzy_rescue, "snapshot": input_snapshot}
+    # KB inputs are dimension-sized: fingerprint their CONTENT so a changed
+    # entity/alias table invalidates kb stages even at an unchanged path
+    kb_snap = {"entities": df_snapshot(entities_df), "aliases": df_snapshot(aliases_df)}
 
     kb0 = build_kb(entities_df, aliases_df, dim=dim)
-    ents = cm.stage("kb_entities", {"cfg": cfg}, lambda: kb0.entities)
+    ents = cm.stage("kb_entities", {"cfg": cfg, "kb": kb_snap}, lambda: kb0.entities)
     fp_ents = cm.fingerprint_of("kb_entities")
     amap = cm.stage("kb_alias_map", {"up": fp_ents}, lambda: kb0.alias_map)
     fp_amap = cm.fingerprint_of("kb_alias_map")
@@ -165,7 +168,7 @@ def cluster_links(links: DataFrame, max_iter: int = 30) -> DataFrame:
     surface strings ("m:" prefix) and entity ids ("e:" prefix); edges are the
     accepted mention->entity links, so mentions sharing an entity (and
     entities sharing a mention surface) land in one cluster.
-    -> (node string, component long)"""
+    -> (node string, component string)"""
     edges = links.select(
         F.concat(F.lit("m:"), F.col("text")).alias("src"),
         F.concat(F.lit("e:"), F.col("entity_id")).alias("dst"),

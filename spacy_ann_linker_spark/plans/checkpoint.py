@@ -40,6 +40,42 @@ def _fingerprint(obj) -> str:
     ).hexdigest()
 
 
+def path_snapshot(path: str) -> str:
+    """Data-identity fingerprint of an input file/directory: sorted
+    (relative path, size, mtime_ns) of every file. A re-run after the data at
+    the SAME path changed gets a different fingerprint, so committed stages
+    correctly invalidate (path strings alone would silently resume on stale
+    data). On an object store this is the listing the table format already
+    maintains — an Iceberg snapshot id replaces it 1:1."""
+    if not os.path.exists(path):
+        return _fingerprint({"missing": path})
+    entries = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    else:
+        for root_, _, files in os.walk(path):
+            for fn in files:
+                p = os.path.join(root_, fn)
+                st = os.stat(p)
+                entries.append((os.path.relpath(p, path), st.st_size, st.st_mtime_ns))
+    return _fingerprint(sorted(entries))
+
+
+def df_snapshot(df: DataFrame) -> str:
+    """Content fingerprint of a SMALL DataFrame (KB entity/alias tables): row
+    count + order-independent xor of per-row xxhash64 over all columns. One
+    aggregate action — only for dimension-sized inputs; fact-table inputs use
+    path_snapshot (no full scan)."""
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])).alias("s"),
+    ).collect()[0]
+    return _fingerprint({"n": row["n"], "s": row["s"]})
+
+
 @dataclass
 class CheckpointManager:
     spark: SparkSession
@@ -101,8 +137,14 @@ class CheckpointManager:
         out = self.spark.read.parquet(staging)
         rows = out.count()
         n_parts = out.rdd.getNumPartitions()
-        # commit: move data into place, manifest written LAST (atomicity point;
-        # Iceberg snapshot commit replaces this block)
+        # commit protocol: (1) INVALIDATE any stale manifest first — a kill
+        # between the data-dir swap and the new manifest write must never
+        # leave a manifest asserting a committed stage whose data is gone;
+        # (2) move data into place; (3) write the new manifest LAST (the
+        # atomicity point; Iceberg snapshot commit replaces this block)
+        mp = self._manifest_path(name)
+        if os.path.exists(mp):
+            os.remove(mp)
         shutil.rmtree(data_dir, ignore_errors=True)
         os.replace(staging, data_dir)
         wall = time.perf_counter() - t0

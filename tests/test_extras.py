@@ -83,7 +83,7 @@ def test_embedding_lsh_neardup_covers_bruteforce(spark):
     assert len(truth) >= 8
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in embedding_lsh_neardup_pairs(df, threshold=0.95).collect()
+        for r in embedding_lsh_neardup_pairs(df, dim=32, threshold=0.95).collect()
     }
     assert truth <= lsh
     # and LSH never reports a pair brute force wouldn't (same exact rescore)

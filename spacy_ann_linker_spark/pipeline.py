@@ -20,7 +20,7 @@ from spacy_ann_linker_spark.cluster.cc import connected_components
 from spacy_ann_linker_spark.data import golden_kb
 from spacy_ann_linker_spark.kb.build import KnowledgeBase, build_kb
 from spacy_ann_linker_spark.link.linker import link_mentions
-from spacy_ann_linker_spark.mentions.extract import extract_mentions
+from spacy_ann_linker_spark.mentions.extract import extract_mentions_gazetteer
 
 
 @dataclass
@@ -65,10 +65,11 @@ def link_transcripts(
 
     `mentions` defaults to dictionary extraction over the KB alias strings
     (the upstream-NER stand-in); pass explicit mentions (e.g. gold label
-    spans) to mirror the reference's externally-supplied doc.ents."""
+    spans) to mirror the reference's externally-supplied doc.ents. The
+    default path is the distributed tokenize->join gazetteer — no driver
+    collect(), no per-pattern regex; the alias table can be any size."""
     if mentions is None:
-        patterns = [r["alias"] for r in model.cand.aliases.collect()]
-        mentions = extract_mentions(turns, patterns)
+        mentions = extract_mentions_gazetteer(turns, model.cand.aliases)
     return link_mentions(
         mentions,
         turns,

@@ -413,7 +413,10 @@ def _q_event_time_window(spark, sf_dir):
     )
 
 
-# ---- rows-only (no SQL oracle): engine-hash / approximate / stub operators
+# ---- remaining queries: minhash/simhash (md5-based cross-engine hash),
+# IVF (deterministic centroids), and the flagship are fully oracled; only
+# multimodal_decode stays rows-only (its fake-decode is blake2b-seeded,
+# inexpressible in SQL by design)
 
 
 def _q_minhash_lsh(spark, sf_dir):
@@ -434,7 +437,8 @@ def _q_ivf_topk(spark, sf_dir):
 
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, n_centroids=16, nprobe=4, k=3)
+    out = ivf_topk(emb, queries, n_centroids=16, nprobe=4, k=3)
+    return out.select("query_id", "item_id", F.round("cosine", R).alias("cosine"), "rank")
 
 
 def _q_multimodal(spark, sf_dir):
@@ -446,8 +450,116 @@ def _q_multimodal(spark, sf_dir):
     )
 
 
+AUX_DIR = "/tmp/spark_graft_flagship_aux_v1"
+
+
+def _ensure_flagship_aux() -> str:
+    """Materialize the flagship's INPUT fixtures as plain parquet for the
+    DuckDB oracle: golden alias->entity map, pure-python entity/context
+    vectors (the seeded en_core_web_md stand-in — fixture data, same role as
+    embeddings.parquet), and the 400-turn gold mentions. All OPERATORS
+    (tfidf fit/transform, cosine join, thresholds, rescue, priors, argmax)
+    are recomputed in SQL by the oracle — only inputs are shared. Everything
+    here is pure python (no Spark), deterministic, and idempotent."""
+    import os
+
+    done = os.path.join(AUX_DIR, "_done")
+    if os.path.exists(done):
+        return AUX_DIR
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spacy_ann_linker_spark.data.golden_kb import read_resource_jsonl
+    from spacy_ann_linker_spark.data.transcripts import turn_record
+    from spacy_ann_linker_spark.data.word_vectors import mean_pool
+
+    os.makedirs(AUX_DIR, exist_ok=True)
+
+    # entities: F7 first-wins dedup, then V3 description mean-pool vectors
+    seen: dict = {}
+    for r in read_resource_jsonl("golden_entities.jsonl"):
+        seen.setdefault(r["id"], r)
+    ev = {"entity_id": [], "vector": []}
+    for r in seen.values():
+        ev["entity_id"].append(r["id"])
+        ev["vector"].append([float(x) for x in mean_pool(r.get("description") or "", 64)])
+    pq.write_table(
+        pa.table(
+            {"entity_id": pa.array(ev["entity_id"], pa.string()),
+             "vector": pa.array(ev["vector"], pa.list_(pa.float64()))}
+        ),
+        os.path.join(AUX_DIR, "entity_vectors.parquet"),
+    )
+
+    # alias map: F6 keep known ids (ent_pos = ORIGINAL index), J6 uniform
+    # priors over the survivors
+    am = {"alias": [], "entity_id": [], "prior": [], "ent_pos": []}
+    for a in read_resource_jsonl("golden_aliases.jsonl"):
+        kept = [(pos, e) for pos, e in enumerate(a["entities"]) if e in seen]
+        for pos, e in kept:
+            am["alias"].append(a["alias"])
+            am["entity_id"].append(e)
+            am["prior"].append(1.0 / len(kept))
+            am["ent_pos"].append(pos)
+    pq.write_table(
+        pa.table(
+            {"alias": pa.array(am["alias"], pa.string()),
+             "entity_id": pa.array(am["entity_id"], pa.string()),
+             "prior": pa.array(am["prior"], pa.float64()),
+             "ent_pos": pa.array(am["ent_pos"], pa.int32())}
+        ),
+        os.path.join(AUX_DIR, "alias_map.parquet"),
+    )
+
+    # 400-turn fixtures: gold mentions + per-turn context vectors
+    recs = [turn_record(42, g) for g in range(400)]
+    mn = {"conv_id": [], "turn_idx": [], "text": [], "start": [], "end": []}
+    cx = {"conv_id": [], "turn_idx": [], "ctx": []}
+    for r in recs:
+        cx["conv_id"].append(r["conv_id"])
+        cx["turn_idx"].append(r["turn_idx"])
+        cx["ctx"].append([float(x) for x in mean_pool(r["text"] or "", 64)])
+        if r["mention"] is not None:
+            mn["conv_id"].append(r["conv_id"])
+            mn["turn_idx"].append(r["turn_idx"])
+            mn["text"].append(r["mention"])
+            mn["start"].append(r["start"])
+            mn["end"].append(r["end"])
+    pq.write_table(
+        pa.table(
+            {"conv_id": pa.array(mn["conv_id"], pa.string()),
+             "turn_idx": pa.array(mn["turn_idx"], pa.int32()),
+             "text": pa.array(mn["text"], pa.string()),
+             "start": pa.array(mn["start"], pa.int32()),
+             "end": pa.array(mn["end"], pa.int32())}
+        ),
+        os.path.join(AUX_DIR, "mentions.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"conv_id": pa.array(cx["conv_id"], pa.string()),
+             "turn_idx": pa.array(cx["turn_idx"], pa.int32()),
+             "ctx": pa.array(cx["ctx"], pa.list_(pa.float64()))}
+        ),
+        os.path.join(AUX_DIR, "ctx.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return AUX_DIR
+
+
 def _q_link_transcripts(spark, sf_dir):
-    return entry(spark)
+    """The flagship, oracle-comparable: mention_id (xxhash64 — not in
+    DuckDB) and the always-null label column dropped; similarity columns
+    rounded on both sides."""
+    _ensure_flagship_aux()
+    out = entry(spark)
+    return out.select(
+        "conv_id", "turn_idx", "text", "start", "end", "alias",
+        F.round("similarity", R).alias("similarity"),
+        "entity_id",
+        F.round("context_similarity", R).alias("context_similarity"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -520,8 +632,142 @@ _COS = (
 )
 
 
+def _dcos(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) + 1e-12))"
+    )
+
+
+def _flagship_oracle_sql() -> str:
+    """DuckDB re-derivation of the ENTIRE flagship lifecycle from the aux
+    input fixtures: char_wb TF-IDF fit (min_df=1) over the 18 golden aliases,
+    short-bypass / exact-fast-path / cosine branches with U1 semantics,
+    strict >0.7 threshold, Jaro-Winkler fuzzy rescue (DuckDB's
+    jaro_winkler_similarity verified float-equal to the engine's UDF on the
+    full mention x alias population), alias->entity expansion, context-cosine
+    disambiguation with (similarity DESC, ent_pos ASC) argmax."""
+    aux = AUX_DIR
+    return rf"""
+    WITH amap AS (SELECT * FROM read_parquet('{aux}/alias_map.parquet')),
+    als AS (SELECT DISTINCT alias FROM amap),
+    awords AS (
+      SELECT alias, w FROM (
+        SELECT alias, unnest(regexp_split_to_array(lower(alias), '\s+')) AS w FROM als
+      ) WHERE w <> ''
+    ),
+    agrams AS (
+      SELECT alias, unnest(list_transform(generate_series(1, length(' ' || w || ' ') - 2),
+                     i -> substring(' ' || w || ' ', i, 3))) AS g
+      FROM awords
+    ),
+    atf AS (SELECT alias, g, count(*) AS tf FROM agrams GROUP BY alias, g),
+    vocab AS (
+      SELECT g, ln((1.0 + (SELECT count(*) FROM als)) / (1.0 + count(*))) + 1.0 AS idf
+      FROM atf GROUP BY g HAVING count(*) >= 1
+    ),
+    aw AS (SELECT atf.alias, atf.g, atf.tf * vocab.idf AS w FROM atf JOIN vocab USING (g)),
+    anorm AS (SELECT alias, sqrt(sum(w * w)) AS nrm FROM aw GROUP BY alias),
+    avec AS (SELECT aw.alias, g, w / nrm AS w FROM aw JOIN anorm USING (alias)),
+    mns AS (SELECT * FROM read_parquet('{aux}/mentions.parquet')),
+    texts AS (SELECT DISTINCT text FROM mns),
+    shorts AS (SELECT alias FROM als WHERE length(alias) < 4),
+    b_short AS (
+      SELECT t.text, s.alias, 1.0 AS similarity FROM texts t JOIN shorts s ON t.text = s.alias
+    ),
+    rest1 AS (SELECT text FROM texts WHERE text NOT IN (SELECT alias FROM shorts)),
+    b_exact AS (
+      SELECT r.text, min(a.alias) AS alias, 1.0 AS similarity
+      FROM rest1 r JOIN als a ON lower(r.text) = lower(a.alias)
+      GROUP BY r.text
+    ),
+    rest2 AS (
+      SELECT text FROM rest1 WHERE lower(text) NOT IN (SELECT lower(alias) FROM als)
+    ),
+    mwords AS (
+      SELECT text, w FROM (
+        SELECT text, unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM rest2
+      ) WHERE w <> ''
+    ),
+    mgrams AS (
+      SELECT text, unnest(list_transform(generate_series(1, length(' ' || w || ' ') - 2),
+                    i -> substring(' ' || w || ' ', i, 3))) AS g
+      FROM mwords
+    ),
+    mtf AS (SELECT text, g, count(*) AS tf FROM mgrams GROUP BY text, g),
+    mw AS (SELECT mtf.text, mtf.g, mtf.tf * vocab.idf AS w FROM mtf JOIN vocab USING (g)),
+    mnorm AS (SELECT text, sqrt(sum(w * w)) AS nrm FROM mw GROUP BY text),
+    mvec AS (SELECT mw.text, g, w / nrm AS w FROM mw JOIN mnorm USING (text)),
+    sims AS (
+      SELECT m.text, a.alias, sum(m.w * a.w) AS similarity
+      FROM mvec m JOIN avec a USING (g) GROUP BY m.text, a.alias
+    ),
+    b_sim AS (
+      SELECT text, alias, similarity FROM (
+        SELECT text, alias, similarity,
+               row_number() OVER (PARTITION BY text ORDER BY similarity DESC, alias ASC) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT * FROM b_short UNION ALL SELECT * FROM b_exact UNION ALL SELECT * FROM b_sim
+      ) WHERE similarity > 0.7
+    ),
+    unmatched AS (SELECT text FROM texts WHERE text NOT IN (SELECT text FROM best)),
+    resc AS (
+      SELECT u.text, a.alias,
+             jaro_winkler_similarity(lower(u.text), lower(a.alias)) AS similarity
+      FROM unmatched u JOIN als a
+        ON lower(substring(u.text, 1, 1)) = lower(substring(a.alias, 1, 1))
+       AND abs(length(u.text) - length(a.alias)) <= 4
+       AND levenshtein(lower(u.text), lower(a.alias)) <= 8
+    ),
+    b_resc AS (
+      SELECT text, alias, similarity FROM (
+        SELECT text, alias, similarity,
+               row_number() OVER (PARTITION BY text ORDER BY similarity DESC, alias ASC) AS rn
+        FROM resc WHERE similarity > 0.88
+      ) WHERE rn = 1
+    ),
+    mam AS (SELECT * FROM best UNION ALL SELECT * FROM b_resc),
+    cands AS (
+      SELECT mam.text, mam.alias, mam.similarity, amap.entity_id, amap.ent_pos
+      FROM mam JOIN amap USING (alias)
+    ),
+    matched AS (
+      SELECT mns.conv_id, mns.turn_idx, mns.text, mns."start", mns."end",
+             c.alias, c.similarity, c.entity_id, c.ent_pos
+      FROM mns JOIN cands c USING (text)
+    ),
+    ctx AS (SELECT * FROM read_parquet('{aux}/ctx.parquet')),
+    ev AS (
+      SELECT entity_id, vector, sqrt(list_dot_product(vector, vector)) AS vnorm
+      FROM read_parquet('{aux}/entity_vectors.parquet')
+    ),
+    scored AS (
+      SELECT m.*,
+             list_dot_product(e.vector, c.ctx)
+               / (e.vnorm * sqrt(list_dot_product(c.ctx, c.ctx)) + 1e-8) AS context_similarity
+      FROM matched m
+      JOIN ev e USING (entity_id)
+      JOIN ctx c ON c.conv_id = m.conv_id AND c.turn_idx = m.turn_idx
+    )
+    SELECT conv_id, turn_idx, text, "start", "end", alias,
+           round(similarity, 6) AS similarity, entity_id,
+           round(context_similarity, 6) AS context_similarity
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, "start"
+                  ORDER BY context_similarity DESC, ent_pos ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    _ensure_flagship_aux()
     return {
+        "link_transcripts": _flagship_oracle_sql(),
         "a1_ngram_document_frequency": _GRAMS_CTE + "SELECT ngram, df FROM vocab",
         "a2_idf_vocabulary": _GRAMS_CTE + "SELECT ngram, df, round(idf, 6) AS idf FROM vocab",
         "v2_tfidf_weights": _GRAMS_CTE
@@ -770,6 +1016,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT time_bucket(INTERVAL '1 hour', ts)::VARCHAR AS window_start,
                event_type, count(*) AS n, round(sum(value), 6) AS total
         FROM events GROUP BY 1, 2
+        """,
+        "ann_ivf_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 16),
+        assigned AS (
+          SELECT item_id, cid FROM (
+            SELECT e.vec_id AS item_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_dcos('e.v', 'c.cv')} DESC, c.cid ASC) AS rn
+            FROM e, cents c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT q_id, cid FROM (
+            SELECT q.vec_id AS q_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_dcos('q.v', 'c.cv')} DESC, c.cid ASC) AS rn
+            FROM e q, cents c WHERE q.vec_id < 10
+          ) WHERE rn <= 4
+        ),
+        scored AS (
+          SELECT p.q_id AS query_id, a.item_id, {_dcos('q.v', 'i.v')} AS cosine
+          FROM probes p
+          JOIN assigned a ON a.cid = p.cid
+          JOIN e q ON q.vec_id = p.q_id
+          JOIN e i ON i.vec_id = a.item_id
+          WHERE a.item_id <> p.q_id
+        )
+        SELECT query_id, item_id, round(cosine, 6) AS cosine, rank FROM (
+          SELECT query_id, item_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, item_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+        """,
+        "dedup_minhash_lsh": r"""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents WHERE doc_id < 200
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                                       i -> substring(t, i, 3))) AS g
+          FROM norm
+        ), seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+        sigs AS (
+          SELECT doc_id, seed,
+                 min((('0x' || substr(md5(seed || ':' || g), 1, 15))::UBIGINT)::BIGINT) AS minhash
+          FROM grams, seeds GROUP BY doc_id, seed
+        ), bands AS (
+          SELECT doc_id, seed // 4 AS band,
+                 md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed)) AS bucket
+          FROM sigs GROUP BY doc_id, seed // 4
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": r"""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                                       i -> substring(t, i, 3))) AS g
+          FROM norm
+        ), h AS (
+          SELECT doc_id, (('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT AS h FROM grams
+        ), bits AS (SELECT unnest(generate_series(0, 59)) AS bit),
+        votes AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h, bits GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               (sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END))::BIGINT AS simhash
+        FROM votes GROUP BY doc_id
         """,
         "cc_components": """
         WITH RECURSIVE edges AS (

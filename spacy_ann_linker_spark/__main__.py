@@ -59,6 +59,48 @@ def cmd_link(args) -> int:
     return 0
 
 
+def cmd_example_data(args) -> int:
+    """Write the tutorial KB JSONL files (reference `spacy_ann example_data`,
+    cli/example_data.py:21-144 — same 15 entities / 18 aliases, shipped here
+    as package data)."""
+    import json
+    import os
+
+    from spacy_ann_linker_spark.data.golden_kb import read_resource_jsonl
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    for name, records in (
+        ("entities.jsonl", read_resource_jsonl("golden_entities.jsonl")),
+        ("aliases.jsonl", read_resource_jsonl("golden_aliases.jsonl")),
+    ):
+        path = os.path.join(args.output_dir, name)
+        with open(path, "w") as f:
+            for r in records:
+                f.write(json.dumps(r, sort_keys=True) + "\n")
+        print(f"example-data: wrote {len(records)} records -> {path}")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Serve POST /link over a saved model (reference `spacy_ann serve`,
+    cli/serve.py:31-59)."""
+    from spacy_ann_linker_spark.link.serve import make_server
+    from spacy_ann_linker_spark.pipeline import LinkageModel
+
+    spark = _spark(args.cores)
+    model = LinkageModel.load(spark, args.model)
+    # warm the model tables so the first request isn't a cold build
+    model.cand.alias_vectors.cache().count()
+    model.kb.entities.cache().count()
+    server = make_server(spark, model, args.host, args.port)
+    print(f"serve: listening on http://{args.host}:{args.port} (POST /link)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="spacy_ann_linker_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -80,6 +122,17 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--no-rescue", action="store_true")
     lk.add_argument("--cores", type=int, default=4)
     lk.set_defaults(fn=cmd_link)
+
+    ed = sub.add_parser("example-data", help="write the tutorial KB JSONL files")
+    ed.add_argument("--output-dir", required=True)
+    ed.set_defaults(fn=cmd_example_data)
+
+    sv = sub.add_parser("serve", help="HTTP POST /link over a saved model")
+    sv.add_argument("--model", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--cores", type=int, default=4)
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from spacy_ann_linker_spark.candidates.generate import DEFAULT_K, CandidateModel
 from spacy_ann_linker_spark.functions.ngrams import char_wb_ngrams_udf
-from spacy_ann_linker_spark.vectorize import tfidf
 
 
 def _gram_set(df: DataFrame, col: str, out: str = "g") -> DataFrame:
@@ -96,6 +95,8 @@ def generate_candidates_blocked(
 
     Same output contract as generate_candidates; recall < 1 by construction
     (tunable), verified >= the threshold-relevant region in tests."""
+    from spacy_ann_linker_spark.candidates.generate import _sims_blocked
+
     texts = texts.select("text").distinct().persist()
 
     short_df = model.short_aliases
@@ -104,21 +105,7 @@ def generate_candidates_blocked(
     )
     rest = texts.join(short_df, texts.text == short_df["alias"], "left_anti").persist()
 
-    alias_names = model.aliases
-    pairs = (
-        lsh_pairs(rest, alias_names, num_hashes, bands)
-        .unionByName(sorted_neighborhood_pairs(rest, alias_names, prefix_len))
-        .distinct()
-    )
-
-    mvecs = tfidf.transform(model.tfidf, rest, "text", "text").withColumnRenamed("weight", "w_m")
-    avecs = model.alias_vectors.withColumnRenamed("weight", "w_a")
-    sims = (
-        pairs.join(mvecs, "text")
-        .join(avecs, ["alias", "idx"])
-        .groupBy("text", "alias")
-        .agg(F.sum(F.col("w_m") * F.col("w_a")).alias("similarity"))
-    )
+    sims = _sims_blocked(model, rest, num_hashes, bands, prefix_len)
     w = Window.partitionBy("text").orderBy(F.desc("similarity"), F.asc("alias"))
     topk = sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= F.lit(k))
     return short.unionByName(topk)

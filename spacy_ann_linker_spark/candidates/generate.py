@@ -83,8 +83,70 @@ def fit_candidate_model(kb: KnowledgeBase, min_df: int = 2) -> CandidateModel:
     )
 
 
+def _sims_exact(model: CandidateModel, rest: DataFrame, max_gram_df: int | None = None) -> DataFrame:
+    """J2 similarity join: inverted-index sparse matmul, exact cosine.
+
+    max_gram_df (off by default) bounds the posting list of pathologically
+    hot ngrams (" a ", "ing"): grams with df > cap are pruned from BOTH join
+    sides, so no single gram can quadratically multiply the join. Similarity
+    becomes a (tight) lower bound — hot grams carry the minimum idf weight —
+    and the knob trades that recall sliver for a bounded worst case at
+    10^12-mention scale."""
+    mvecs = tfidf.transform(model.tfidf, rest, "text", "text").withColumnRenamed(
+        "weight", "w_m"
+    )
+    avecs = model.alias_vectors.withColumnRenamed("weight", "w_a")
+    if max_gram_df is not None:
+        hot = model.tfidf.vocab.filter(F.col("df") > max_gram_df).select("idx")
+        mvecs = mvecs.join(F.broadcast(hot), "idx", "left_anti")
+        avecs = avecs.join(F.broadcast(hot), "idx", "left_anti")
+    return (
+        mvecs.join(avecs, "idx")
+        .groupBy("text", "alias")
+        .agg(F.sum(F.col("w_m") * F.col("w_a")).alias("similarity"))
+    )
+
+
+def _sims_blocked(
+    model: CandidateModel,
+    rest: DataFrame,
+    num_hashes: int = 24,
+    bands: int = 12,
+    prefix_len: int = 3,
+) -> DataFrame:
+    """Blocked similarity: exact cosine scored ONLY on MinHash-LSH ∪
+    sorted-neighborhood candidate pairs (candidates/blocking.py) — the path
+    whose cost is linear in corpus + bucket collisions, never all-pairs and
+    never hot-gram-quadratic. Recall < 1 by construction (tunable), validated
+    against the exact join in tests."""
+    from spacy_ann_linker_spark.candidates.blocking import (
+        lsh_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    pairs = (
+        lsh_pairs(rest, model.aliases, num_hashes, bands)
+        .unionByName(sorted_neighborhood_pairs(rest, model.aliases, prefix_len))
+        .distinct()
+    )
+    mvecs = tfidf.transform(model.tfidf, rest, "text", "text").withColumnRenamed(
+        "weight", "w_m"
+    )
+    avecs = model.alias_vectors.withColumnRenamed("weight", "w_a")
+    return (
+        pairs.join(mvecs, "text")
+        .join(avecs, ["alias", "idx"])
+        .groupBy("text", "alias")
+        .agg(F.sum(F.col("w_m") * F.col("w_a")).alias("similarity"))
+    )
+
+
 def _candidate_branches(
-    model: CandidateModel, texts: DataFrame, exact_fast_path: bool
+    model: CandidateModel,
+    texts: DataFrame,
+    exact_fast_path: bool,
+    use_blocking: bool = False,
+    max_gram_df: int | None = None,
 ) -> tuple[DataFrame, DataFrame | None, DataFrame]:
     """Shared branch plumbing: (short-bypass rows, exact-fast-path rows or
     None, raw similarity rows). Branches are disjoint by text (each anti-join
@@ -122,15 +184,10 @@ def _candidate_branches(
             .drop("_tl")
         )
 
-    # J2 similarity join: inverted-index sparse matmul, exact cosine
-    mvecs = tfidf.transform(model.tfidf, rest, "text", "text").withColumnRenamed(
-        "weight", "w_m"
-    )
-    avecs = model.alias_vectors.withColumnRenamed("weight", "w_a")
     sims = (
-        mvecs.join(avecs, "idx")
-        .groupBy("text", "alias")
-        .agg(F.sum(F.col("w_m") * F.col("w_a")).alias("similarity"))
+        _sims_blocked(model, rest)
+        if use_blocking
+        else _sims_exact(model, rest, max_gram_df=max_gram_df)
     )
     return short, exact, sims
 
@@ -164,14 +221,22 @@ def generate_best_candidates(
     model: CandidateModel,
     texts: DataFrame,
     exact_fast_path: bool = False,
+    use_blocking: bool = False,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """texts -> (text, alias, similarity): the single best candidate per
     mention string, computed with hash aggregations (min_by over an ordering
     struct) instead of a sort window. Equivalent to
     generate_candidates(...).rank==1 for ANY k (the global argmax is always
     inside the top-k), so the linking path (T2 picks only
-    alias_candidates[0], ann_linker.py:97) never pays the top-k sort."""
-    short, exact, sims = _candidate_branches(model, texts, exact_fast_path)
+    alias_candidates[0], ann_linker.py:97) never pays the top-k sort.
+
+    use_blocking routes the similarity branch through the LSH + sorted-
+    neighborhood pair join (bounded at any scale); max_gram_df caps hot-gram
+    posting lists on the exact join. Both default off = reference-exact."""
+    short, exact, sims = _candidate_branches(
+        model, texts, exact_fast_path, use_blocking=use_blocking, max_gram_df=max_gram_df
+    )
     best_sim = (
         sims.groupBy("text")
         .agg(

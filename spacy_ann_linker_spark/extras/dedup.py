@@ -1,10 +1,11 @@
 """Deduplication operators for training-data pipelines: exact, n-gram
 Jaccard, MinHash-LSH, SimHash, embedding-cosine near-dup.
 
-Exact and Jaccard are pure built-ins with DuckDB oracles. MinHash/SimHash use
-engine-specific hashes (xxhash64) so their oracles are rows-only checks; the
-LSH band-join is the 100 TB path (the Jaccard self-join is quadratic per
-shared ngram and exists as the small-scale ground truth the LSH variants are
+All hash-based operators use a CROSS-ENGINE 60-bit hash (first 15 hex chars
+of md5 as a bigint — `_h60`), computable identically in Spark and DuckDB, so
+MinHash-LSH and SimHash are exactly oracle-checkable, not rows-only. The LSH
+band-join is the 100 TB path (the Jaccard self-join is quadratic per shared
+ngram and exists as the small-scale ground truth the LSH variants are
 validated against in tests).
 """
 
@@ -12,6 +13,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _h60(col):
+    """60-bit hash identical across engines:
+    Spark  conv(substring(md5(x), 1, 15), 16, 10)::bigint
+    DuckDB ('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT
+    (15 hex chars = 60 bits, always non-negative, fits bigint in both)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
 def normalize(text_col):
@@ -80,15 +89,24 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """(doc_id, seed, minhash): num_hashes permutation-free MinHash values,
-    h_s(doc) = min over grams g of xxhash64(g, s)."""
+    h_s(doc) = min over grams g of _h60(s || ':' || g).
+
+    ONE groupBy with num_hashes min-aggregators — not an explode over seeds
+    (which would multiply the shuffle input num_hashes-fold); the map-side
+    partial aggregation sees each gram row once and maintains all mins."""
     grams = df.select(
         F.col(id_col).alias("doc_id"), F.explode(char_ngrams_col(F.col(text_col), n)).alias("g")
     )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        grams.select("doc_id", "g", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.xxhash64("g", "seed")).alias("minhash"))
+    aggs = [
+        F.min(_h60(F.concat_ws(":", F.lit(s), F.col("g")))).alias(f"_mh{s}")
+        for s in range(num_hashes)
+    ]
+    wide = grams.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"_mh{s}") for s in range(num_hashes)])).alias(
+            "seed", "minhash"
+        ),
     )
 
 
@@ -110,8 +128,16 @@ def minhash_lsh_pairs(
         sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
-            F.xxhash64(
-                F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash"))))
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: F.concat_ws(
+                            ":", s["seed"].cast("string"), s["minhash"].cast("string")
+                        ),
+                    ),
+                )
             ).alias("bucket")
         )
     )
@@ -125,13 +151,14 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over char n-grams: per-bit majority vote of gram
-    hashes. Bit loop is JVM-side (explode over bit positions), so the whole
+def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 60) -> DataFrame:
+    """60-bit SimHash over char n-grams: per-bit majority vote of gram
+    hashes (cross-engine _h60, so the whole signature is oracle-exact in
+    DuckDB). Bit loop is JVM-side (explode over bit positions), so the whole
     operator is shuffle + aggregate — no Python."""
     grams = df.select(
         F.col(id_col).alias("doc_id"), F.explode(char_ngrams_col(F.col(text_col), n)).alias("g")
-    ).withColumn("h", F.xxhash64("g"))
+    ).withColumn("h", _h60(F.col("g")))
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     votes = (
         grams.select("doc_id", "h", bit)

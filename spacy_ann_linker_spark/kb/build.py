@@ -96,7 +96,13 @@ def build_kb(entities_df: DataFrame, aliases_df: DataFrame, dim: int = 64) -> Kn
     vecs = embed_texts(ents.select("id", "description"), "id", "description", dim=dim)
     ents = ents.join(vecs, "id", "left").withColumn(
         "vnorm",
-        F.sqrt(F.aggregate("vector", F.lit(0.0), lambda acc, x: acc + x * x)),
+        # float64 squares (float32*float32 stays float32 in Spark and
+        # diverges from float64 engines at rounding boundaries)
+        F.sqrt(
+            F.aggregate(
+                F.col("vector").cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
     )
     alias_map = build_alias_map(aliases_df, ents)
     short = (

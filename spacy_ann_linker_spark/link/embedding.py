@@ -33,13 +33,30 @@ def embed_texts(df: DataFrame, id_col: str, text_col: str, dim: int = DIM) -> Da
 
 def with_vector_norm(df: DataFrame, vec_col: str = "vector", out_col: str = "vnorm") -> DataFrame:
     """L2 norm via JVM-side higher-order function (A6: np.linalg.norm,
-    ann_linker.py:106)."""
+    ann_linker.py:106). Squares computed in float64 — float32*float32 stays
+    float32 in Spark, which diverges from every other engine's accumulation."""
     return df.withColumn(
-        out_col, F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+        out_col,
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col).cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
     )
 
 
 def dot_product(a, b):
-    """Column expr: dot(a, b) over two array<float> columns — JVM-side
-    zip_with/aggregate, stays inside codegen (no UDF)."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    """Column expr: dot(a, b) over two array<float|double> columns —
+    JVM-side zip_with/aggregate, stays inside codegen (no UDF). Inputs are
+    cast to float64 first: Spark's float32*float32 product is float32, which
+    loses bits relative to float64 engines (DuckDB, numpy) and flips
+    rounding-boundary comparisons."""
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

@@ -47,6 +47,8 @@ def best_aliases(
     exact_fast_path: bool = False,
     fuzzy_rescue: bool = False,
     jw_threshold: float = 0.88,
+    use_blocking: bool = False,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """(text, alias, similarity) — best surviving alias per distinct mention
     string (T2: `alias_candidates[0]` after the strict-> threshold filter).
@@ -60,10 +62,16 @@ def best_aliases(
     word's 3-grams (cosine collapses) while JW degrades gracefully."""
     # global argmax == rank-1 of top-k for any k, so the linking path skips
     # the top-k sort window entirely (hash aggregations only); strict >
-    # threshold applied after, same as filtering the k-list then taking [0]
-    best = generate_best_candidates(model, texts, exact_fast_path=exact_fast_path).filter(
-        F.col("similarity") > F.lit(threshold)
-    )
+    # threshold applied after, same as filtering the k-list then taking [0].
+    # use_blocking / max_gram_df (both off = reference-exact) bound the
+    # similarity join at scale: LSH+prefix pair blocking, or hot-gram df-cap.
+    best = generate_best_candidates(
+        model,
+        texts,
+        exact_fast_path=exact_fast_path,
+        use_blocking=use_blocking,
+        max_gram_df=max_gram_df,
+    ).filter(F.col("similarity") > F.lit(threshold))
     if not fuzzy_rescue:
         return best
     # the pre-rescue result feeds both the anti-join and the union — persist
@@ -141,6 +149,8 @@ def link_mentions(
     disambiguate: bool = True,
     exact_fast_path: bool = True,
     fuzzy_rescue: bool = False,
+    use_blocking: bool = False,
+    max_gram_df: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """mentions (MENTION_SCHEMA) + turns (TRANSCRIPT_SCHEMA) -> links.
@@ -163,6 +173,8 @@ def link_mentions(
         threshold=threshold,
         exact_fast_path=exact_fast_path,
         fuzzy_rescue=fuzzy_rescue,
+        use_blocking=use_blocking,
+        max_gram_df=max_gram_df,
     ).persist()
 
     # J6 alias -> entity expansion with uniform priors

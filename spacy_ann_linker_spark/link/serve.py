@@ -1,0 +1,120 @@
+"""`serve` — local HTTP endpoint over a saved LinkageModel (reference
+command-surface parity: `spacy_ann serve`, cli/serve.py:31-59, FastAPI
+`POST /link`, api/app.py:37-79).
+
+The engine's production path is the batch/streaming job (the reference's
+"KB too big for one process" motivation, remote_ann_linker.py:21-23, is what
+the distributed join solves), but the reference ALSO ships a request/response
+server for interactive use — this is that surface, stdlib-only
+(http.server; FastAPI/uvicorn are not in this container and a thin JSON
+endpoint needs neither).
+
+Request/response shape is the reference's LinkingRequest/LinkingResponse
+(api/types.py:20-40): documents of {spans: [{text,start,end,label}],
+context}; linked spans gain an `id`. Two documented deviations from the
+reference handler:
+  * spans whose offsets don't slice cleanly are dropped from LINKING but
+    still echoed in the response; the reference's `doc.spans[i] = ents[i]`
+    loop (app.py:71-74) misaligns ids when char_span() drops a span — a
+    bug we do not reproduce (ids are matched back by (start, end)).
+  * `similarity_threshold` (default 0.65, app.py:42) is forwarded to the
+    linker's threshold; in the reference it mutates cg.threshold while the
+    0.7 ann_linker threshold still gates — a near-no-op quirk (SURVEY F4/F5
+    notes).
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def link_documents(
+    spark: SparkSession, model, documents: list[dict], threshold: float = 0.65
+) -> list[dict]:
+    """Pure request handler: LinkingRequest documents -> LinkingResponse
+    documents (testable without a socket)."""
+    from spacy_ann_linker_spark.link.linker import link_mentions
+
+    turn_rows = []
+    mention_rows = []
+    for i, doc in enumerate(documents):
+        ctx = doc.get("context") or ""
+        conv = f"d{i}"
+        turn_rows.append((conv, 0, "user", ctx, "", None))
+        for s in doc.get("spans") or []:
+            start, end = int(s.get("start", -1)), int(s.get("end", -1))
+            if 0 <= start < end <= len(ctx):
+                mention_rows.append(
+                    (conv, 0, ctx[start:end], start, end, s.get("label"))
+                )
+    turns = spark.createDataFrame(
+        turn_rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    mentions = spark.createDataFrame(
+        mention_rows or [("", 0, "", 0, 0, None)],
+        "conv_id string, turn_idx int, text string, start int, end int, label string",
+    ).withColumn("mention_id", F.xxhash64("conv_id", "turn_idx", "start"))
+    if not mention_rows:
+        mentions = mentions.filter(F.col("conv_id") != "")
+    links = link_mentions(
+        mentions, turns, model.kb, model.cand, threshold=threshold
+    ).collect()
+    by_span = {(r["conv_id"], r["start"], r["end"]): r["entity_id"] for r in links}
+
+    out = []
+    for i, doc in enumerate(documents):
+        spans = []
+        for s in doc.get("spans") or []:
+            rec = {
+                "text": s.get("text"),
+                "start": s.get("start"),
+                "end": s.get("end"),
+                "label": s.get("label"),
+                "id": by_span.get((f"d{i}", s.get("start"), s.get("end"))),
+            }
+            spans.append(rec)
+        out.append({"spans": spans, "context": doc.get("context")})
+    return out
+
+
+def make_server(spark: SparkSession, model, host: str = "127.0.0.1", port: int = 8080):
+    """ThreadingHTTPServer with POST /link (reference app.py routes)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet test output
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            self._send(200, {"service": "spacy_ann_linker_spark", "endpoints": ["/link"]})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/link":
+                self._send(404, {"detail": "unknown route"})
+                return
+            q = parse_qs(parsed.query)
+            threshold = float(q.get("similarity_threshold", ["0.65"])[0])
+            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                body = json.loads(self.rfile.read(n) or b"{}")
+                docs = body.get("documents") or []
+                out = link_documents(spark, model, docs, threshold=threshold)
+                self._send(200, {"documents": out})
+            except Exception as ex:  # noqa: BLE001 — surface as HTTP 400
+                self._send(400, {"detail": str(ex)})
+
+    return ThreadingHTTPServer((host, port), Handler)

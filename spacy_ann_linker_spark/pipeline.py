@@ -59,6 +59,8 @@ def link_transcripts(
     disambiguate: bool = True,
     exact_fast_path: bool = True,
     fuzzy_rescue: bool = False,
+    use_blocking: bool = False,
+    max_gram_df: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Link every mention in every turn to its KB entity.
@@ -80,6 +82,8 @@ def link_transcripts(
         disambiguate=disambiguate,
         exact_fast_path=exact_fast_path,
         fuzzy_rescue=fuzzy_rescue,
+        use_blocking=use_blocking,
+        max_gram_df=max_gram_df,
         dim=dim,
     )
 

@@ -137,3 +137,28 @@ def test_gazetteer_40k_alias_kb_bounded(spark):
     ac_sec = time.perf_counter() - t0
     assert got == want
     assert gaz_sec < 120 and ac_sec < 120  # bounded even on a throttled host
+
+
+def test_gazetteer_punctuation_aliases_match_regex(spark):
+    """Aliases starting/ending with non-word chars (.NET, C++) and nested
+    word-boundary traps (ML inside HTML) behave identically across engines."""
+    from spacy_ann_linker_spark.mentions.extract import extract_mentions_gazetteer
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "use C++ and .NET and Neuro-linguistic programming today", "", None),
+         ("c1", 1, "user", "nested ML in HTML but plain ML works; (ML) too", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    aliases = spark.createDataFrame(
+        [("C++",), (".NET",), ("Neuro-linguistic programming",), ("ML",)], "alias string"
+    )
+    pats = ["C++", ".NET", "Neuro-linguistic programming", "ML"]
+    want = sorted(
+        (r["turn_idx"], r["start"], r["text"])
+        for r in extract_mentions(t, pats, engine="regex").collect()
+    )
+    got = sorted(
+        (r["turn_idx"], r["start"], r["text"])
+        for r in extract_mentions_gazetteer(t, aliases).collect()
+    )
+    assert want == got and len(want) == 6

@@ -1,0 +1,72 @@
+"""CLI surface: serve (POST /link) and example-data (tutorial JSONL)."""
+
+import json
+import threading
+import urllib.request
+
+
+def test_link_documents_golden(spark, tmp_path):
+    from spacy_ann_linker_spark.link.serve import link_documents
+    from spacy_ann_linker_spark.pipeline import build_golden_model
+
+    model = build_golden_model(spark, min_df=1)
+    docs = [
+        {
+            "spans": [
+                {"text": "NLP", "start": 0, "end": 3, "label": "SKILL"},
+                {"text": "machine learning", "start": 37, "end": 53, "label": "SKILL"},
+                {"text": "bogus", "start": 500, "end": 510, "label": "SKILL"},  # invalid offsets
+            ],
+            "context": "NLP is a highly researched subset of machine learning.",
+        }
+    ]
+    out = link_documents(spark, model, docs)
+    spans = out[0]["spans"]
+    assert [s["id"] for s in spans] == ["a3", "a1", None]  # invalid span echoed, unlinked
+    assert out[0]["context"] == docs[0]["context"]
+
+
+def test_serve_http_roundtrip(spark, tmp_path):
+    from spacy_ann_linker_spark.link.serve import make_server
+    from spacy_ann_linker_spark.pipeline import build_golden_model
+
+    model = build_golden_model(spark, min_df=1)
+    server = make_server(spark, model, "127.0.0.1", 0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps(
+            {
+                "documents": [
+                    {
+                        "spans": [{"text": "NLP", "start": 0, "end": 3, "label": "SKILL"}],
+                        "context": "NLP is fun",
+                    }
+                ]
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/link?similarity_threshold=0.65",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            payload = json.loads(resp.read())
+        assert payload["documents"][0]["spans"][0]["id"] == "a3"
+        # health route
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=30) as resp:
+            assert json.loads(resp.read())["endpoints"] == ["/link"]
+    finally:
+        server.shutdown()
+
+
+def test_example_data_cli(tmp_path):
+    from spacy_ann_linker_spark.__main__ import main
+
+    out = tmp_path / "kb"
+    assert main(["example-data", "--output-dir", str(out)]) == 0
+    ents = [json.loads(l) for l in (out / "entities.jsonl").read_text().splitlines()]
+    als = [json.loads(l) for l in (out / "aliases.jsonl").read_text().splitlines()]
+    assert {e["id"] for e in ents} >= {"a1", "a3", "a15"}
+    assert {"alias", "entities", "probabilities"} <= set(als[0])

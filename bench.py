@@ -91,6 +91,24 @@ def run_bench(cpus: int) -> dict:
     model.cand.tfidf.vocab.cache().count()
     model.cand.alias_vectors.cache().count()
     model.cand.short_aliases.cache().count()
+    model.cand.aliases.cache().count()
+
+    # untimed warmup: one tiny link spins up python UDF workers and JIT/
+    # codegen so the timed section measures the engine, not session startup
+    warm = full.limit(64)
+    _noop(
+        link_transcripts(
+            model,
+            warm.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+            mentions=warm.filter(F.col("mention").isNotNull()).select(
+                "conv_id", "turn_idx",
+                F.xxhash64("conv_id", "turn_idx", "start").alias("mention_id"),
+                F.col("mention").alias("text"), "start", "end",
+                F.lit(None).cast("string").alias("label"),
+            ),
+            fuzzy_rescue=True,
+        )
+    )
 
     timings: dict[str, float] = {}
 

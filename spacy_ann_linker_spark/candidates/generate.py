@@ -153,8 +153,12 @@ def _candidate_branches(
     removes the previous branch's population — U1 "bypass replaces"
     semantics, candidate_generator.py:253-275)."""
     # distinct mention strings feed three branches (short join, anti-join,
-    # vectorize) — persist so the dedup shuffle runs once
+    # vectorize) — persist AND materialize eagerly: a lazy persist is
+    # populated mid-job, so concurrent consumers in the same query would
+    # each recompute the dedup shuffle (measured 2-3x recompute). The table
+    # is distinct-mention-sized, so the extra count() action is noise.
     texts = texts.select("text").distinct().persist()
+    texts.count()
 
     # J4 short-alias bypass (exact, case-sensitive, total)
     short_df = model.short_aliases

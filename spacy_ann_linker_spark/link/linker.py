@@ -75,8 +75,11 @@ def best_aliases(
     if not fuzzy_rescue:
         return best
     # the pre-rescue result feeds both the anti-join and the union — persist
-    # so the candidate-join subtree runs once, not per consumer
+    # and materialize EAGERLY: both consumers run concurrently in the final
+    # job, and a lazy persist lets each recompute the whole candidate-join
+    # subtree (measured ~3x wall on the bench input)
     best = best.persist()
+    best.count()
 
     from spacy_ann_linker_spark.functions.stringsim import jaro_winkler_udf
 
@@ -164,8 +167,10 @@ def link_mentions(
     unannotated, ann_linker.py:90-91)."""
     texts = mentions.select("text").distinct()
     # mention_alias_map is tiny (distinct mention strings) but its lineage is
-    # the whole candidate-generation DAG — persist it so downstream joins
-    # don't recompute the similarity join per consumer (J8 memo semantics)
+    # the whole candidate-generation DAG — persist + materialize eagerly so
+    # the two downstream consumers (candidate expansion, turns semi-join)
+    # read the cache instead of racing to recompute the similarity join
+    # (J8 memo semantics)
     mam = best_aliases(
         model,
         texts,
@@ -176,6 +181,7 @@ def link_mentions(
         use_blocking=use_blocking,
         max_gram_df=max_gram_df,
     ).persist()
+    mam.count()
 
     # J6 alias -> entity expansion with uniform priors
     cands = mam.join(kb.alias_map, "alias").select(

@@ -419,6 +419,21 @@ def _q_event_time_window(spark, sf_dir):
 # inexpressible in SQL by design)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Composed lineage: exact n-gram Jaccard near-dup pairs -> connected
+    components -> (doc, canonical doc). The full dedup story in one plan:
+    pair generation, transitive closure, canonical pick (min doc_id)."""
+    from spacy_ann_linker_spark.cluster.cc import connected_components_long
+    from spacy_ann_linker_spark.extras.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components_long(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from spacy_ann_linker_spark.extras.dedup import minhash_lsh_pairs
 
@@ -581,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2_topk_per_group": _q_t2_topk_per_group,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "text_token_count": _q_token_count,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -900,6 +916,35 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE shared * 1.0 / (sa.sz + sb.sz - shared) > 0.5
+        """,
+        "dedup_clusters": r"""
+        WITH RECURSIVE norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents WHERE doc_id < 150
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                                       i -> substring(t, i, 3))) AS g
+          FROM norm
+        ), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE shared * 1.0 / (sa.sz + sb.sz - shared) > 0.5
+        ), und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+        )
+        SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
         """,
         "text_token_count": r"""
         SELECT doc_id,

@@ -37,12 +37,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce by SIZE, not parallelism: the linking DAG interleaves
-        # huge scans with dimension-sized shuffles (distinct mentions,
-        # alias vectors); parallelismFirst=true pins every tiny shuffle at
-        # #cores partitions and task overhead dominates those stages
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # AQE coalescing defaults (parallelismFirst=true) are the right
+        # cluster behavior: tiny dimension shuffles coalesce via the 1 MB
+        # minPartitionSize, while wide stages keep one partition per core —
+        # measured: size-first coalescing (16m advisory) capped the 800k-turn
+        # argmax shuffle at ~7 partitions and flattened core-count scaling
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -299,6 +299,21 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_scrub(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.text_analysis import scrub_text
+
+    return scrub_text(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_repetition(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.text_analysis import repetition_ratio
+
+    out = repetition_ratio(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "doc_id", "total_ngrams", "distinct_ngrams", F.round("rep_ratio", R).alias("rep_ratio")
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     from spacy_ann_linker_spark.extras.text_analysis import fingerprint
 
@@ -601,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
+        "text_scrub": _q_scrub,
+        "text_repetition": _q_repetition,
         "sessionize_events": _q_sessionize,
         "cc_components": _q_cc,
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -997,6 +1014,34 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": r"""
         SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         FROM documents
+        """,
+        "text_scrub": r"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(text,
+                    'https?://\S+', '<URL>', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\s+', ' ', 'g')) AS clean_text,
+               len(regexp_extract_all(text, 'https?://\S+')) AS n_urls,
+               len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+        FROM documents
+        """,
+        "text_repetition": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                                i -> array_to_string(list_slice(ws, i, i + 2), ' ')) AS grams
+          FROM w
+        )
+        SELECT doc_id, len(grams) AS total_ngrams,
+               len(list_distinct(grams)) AS distinct_ngrams,
+               round((len(grams) - len(list_distinct(grams))) * 1.0
+                     / greatest(len(grams), 1), 6) AS rep_ratio
+        FROM g
         """,
         "sessionize_events": """
         WITH e AS (

@@ -86,6 +86,55 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def scrub_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, clean_text, n_urls, n_emails): URL/email scrub for training-data
+    pipelines — occurrences replaced with sentinel tokens, whitespace
+    collapsed. Patterns avoid backtracking constructs so Java regex (Spark)
+    and RE2 (DuckDB oracle) agree byte-for-byte. URLs replace first (they
+    may contain '@'); same order in the oracle."""
+    t = F.col(text_col)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(t, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all(t, F.lit(URL_RE))).alias("n_urls"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE))).alias("n_emails"),
+    )
+
+
+def repetition_ratio(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, total_ngrams, distinct_ngrams, rep_ratio): duplicate word-n-gram
+    fraction — the repetition quality signal LLM data pipelines gate on
+    (high ratio = boilerplate/spam). Pure JVM higher-order functions; docs
+    with fewer than n tokens score 0."""
+    words = _words(F.col(text_col))
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    uniq = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.alias("total_ngrams"),
+        uniq.alias("distinct_ngrams"),
+        ((total - uniq) / F.greatest(total, F.lit(1))).alias("rep_ratio"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     (md5 exists in both Spark and DuckDB -> exact cross-engine oracle; a

@@ -66,3 +66,22 @@ def test_candidate_join_partial_aggregates(spark, golden_model):
     cands = generate_candidates(golden_model.cand, texts, k=5)
     plan = _plan(cands)
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_gazetteer_plan_broadcasts_aliases_no_cartesian(spark):
+    """The distributed gazetteer's token->alias join must broadcast the
+    alias side (dimension-sized) and never degrade to a cartesian product;
+    the leftmost-longest fold is a JVM aggregate (no extra python stage)."""
+    from spacy_ann_linker_spark.data import golden_kb
+    from spacy_ann_linker_spark.data.transcripts import generate_transcripts
+    from spacy_ann_linker_spark.mentions.extract import extract_mentions_gazetteer
+
+    turns = generate_transcripts(spark, 32)
+    m = extract_mentions_gazetteer(turns, golden_kb.load_aliases(spark).select("alias"))
+    plan = _plan(m)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one python node (the offset-preserving tokenizer; formatted
+    # plans print each node twice — tree + details); the greedy
+    # span-selection fold stays JVM-side
+    assert 1 <= plan.count("ArrowEvalPython") <= 2

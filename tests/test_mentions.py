@@ -162,3 +162,36 @@ def test_gazetteer_punctuation_aliases_match_regex(spark):
         for r in extract_mentions_gazetteer(t, aliases).collect()
     )
     assert want == got and len(want) == 6
+
+
+def test_ac_find_spans_matches_regex_property():
+    """Property: the pure-python AC matcher (find_spans_ac) and the regex
+    scanner produce identical spans for arbitrary pattern sets and texts
+    over a small alphabet (dense overlaps, shared prefixes/suffixes,
+    boundary collisions)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spacy_ann_linker_spark.mentions.extract import (
+        AhoCorasick,
+        _compile,
+        find_spans,
+        find_spans_ac,
+    )
+
+    word = st.text(alphabet="ab_ ", min_size=1, max_size=6)
+    texts = st.text(alphabet="ab_ .x", max_size=40)
+
+    @settings(max_examples=300, deadline=None)
+    @given(pats=st.lists(word, min_size=1, max_size=8), text=texts, ci=st.booleans())
+    def check(pats, text, ci):
+        pats = [p for p in pats if p.strip()]
+        if not pats:
+            return
+        rx = _compile(pats, ci)
+        ac = AhoCorasick(pats, ci)
+        want = find_spans(text, rx, None)
+        got = find_spans_ac(text, ac, None)
+        assert got == want, (pats, text, ci)
+
+    check()

@@ -20,14 +20,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spacy_ann_linker_spark.candidates.generate import DEFAULT_K, CandidateModel
-from spacy_ann_linker_spark.functions.ngrams import char_wb_ngrams_udf
+from spacy_ann_linker_spark.functions.ngrams import char_wb_ngrams_col
 
 
 def _gram_set(df: DataFrame, col: str, out: str = "g") -> DataFrame:
     """(col, g): distinct char_wb 3-grams per string (same analyzer as the
     vectorizer, so LSH blocks agree with cosine features)."""
     return df.select(
-        F.col(col), F.explode(F.array_distinct(char_wb_ngrams_udf(F.col(col)))).alias(out)
+        F.col(col), F.explode(F.array_distinct(char_wb_ngrams_col(F.col(col)))).alias(out)
     )
 
 

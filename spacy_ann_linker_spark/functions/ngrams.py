@@ -42,10 +42,32 @@ def char_wb_ngrams(text: str, n: int = 3) -> list[str]:
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def char_wb_ngrams_udf(texts: pd.Series) -> pd.Series:
-    """Arrow-batched char_wb 3-gram extraction: text -> array<string>."""
+    """Arrow-batched char_wb 3-gram extraction: text -> array<string>.
+    (Reference implementation; the hot path uses the pure-JVM
+    `char_wb_ngrams_col` below — equality asserted in tests.)"""
     return texts.map(lambda t: char_wb_ngrams(t, 3))
 
 
+def char_wb_ngrams_col(text_col, n: int = 3):
+    """char_wb n-grams as a PURE-JVM column expression: lowercase, split on
+    whitespace, pad each word with one space, emit every n-gram (with
+    repetition). No python worker, no Arrow transfer — the whole vectorizer
+    analyze stage stays inside whole-stage codegen. Identical output to
+    `char_wb_ngrams` (sklearn semantics) for any n <= 3 input: a padded word
+    is always >= 3 chars, so the short-word emit-whole branch is
+    unreachable."""
+    words = F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != "")
+
+    def word_grams(w):
+        pad = F.concat(F.lit(" "), w, F.lit(" "))
+        return F.transform(
+            F.sequence(F.lit(1), F.length(pad) - (n - 1)),
+            lambda i: pad.substr(i, F.lit(n)),
+        )
+
+    return F.flatten(F.transform(words, word_grams))
+
+
 def with_ngrams(df, text_col: str = "text", out_col: str = "ngrams"):
-    """Attach the char_wb 3-gram array column."""
-    return df.withColumn(out_col, char_wb_ngrams_udf(F.col(text_col)))
+    """Attach the char_wb 3-gram array column (JVM expression)."""
+    return df.withColumn(out_col, char_wb_ngrams_col(F.col(text_col)))

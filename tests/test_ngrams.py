@@ -60,3 +60,25 @@ def test_all_grams_length_3_or_whole_short_word(s):
 @given(st.text(max_size=30))
 def test_deterministic(s):
     assert char_wb_ngrams(s) == char_wb_ngrams(s)
+
+
+def test_jvm_column_matches_python_reference(spark):
+    """char_wb_ngrams_col (pure JVM) == char_wb_ngrams (python reference)
+    on adversarial strings: unicode, punctuation, repeated/1-char words,
+    tabs/newlines, leading/trailing whitespace, empties."""
+    from pyspark.sql import functions as F
+
+    from spacy_ann_linker_spark.functions.ngrams import char_wb_ngrams, char_wb_ngrams_col
+
+    cases = [
+        "Machine learning", " NLP ", "a", "ab", "a b  c", "", "   ",
+        "tabs\tand\nnewlines", "MiXeD CaSe WoRdS", "über café naïve",
+        "x" * 50, "a.b,c;d", "research researched researching",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = {
+        r["text"]: r["g"]
+        for r in df.select("text", char_wb_ngrams_col(F.col("text")).alias("g")).collect()
+    }
+    for c in cases:
+        assert got[c] == char_wb_ngrams(c, 3), repr(c)

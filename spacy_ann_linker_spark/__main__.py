@@ -53,6 +53,8 @@ def cmd_link(args) -> int:
         turns,
         threshold=args.threshold,
         fuzzy_rescue=not args.no_rescue,
+        use_blocking=args.blocking,
+        max_gram_df=args.max_gram_df,
     )
     links.write.mode("overwrite").parquet(args.output)
     print(f"link: {spark.read.parquet(args.output).count()} links -> {args.output}")
@@ -120,6 +122,10 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--output", required=True)
     lk.add_argument("--threshold", type=float, default=0.7)
     lk.add_argument("--no-rescue", action="store_true")
+    lk.add_argument("--blocking", action="store_true",
+                    help="LSH+prefix blocked candidate path (bounded at any scale)")
+    lk.add_argument("--max-gram-df", type=int, default=None, dest="max_gram_df",
+                    help="prune ngrams with df above this from the exact cosine join")
     lk.add_argument("--cores", type=int, default=4)
     lk.set_defaults(fn=cmd_link)
 

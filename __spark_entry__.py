@@ -429,9 +429,8 @@ def _q_event_time_window(spark, sf_dir):
 
 
 # ---- remaining queries: minhash/simhash (md5-based cross-engine hash),
-# IVF (deterministic centroids), and the flagship are fully oracled; only
-# multimodal_decode stays rows-only (its fake-decode is blake2b-seeded,
-# inexpressible in SQL by design)
+# IVF (deterministic centroids), multimodal decode (md5-hex arithmetic over
+# parquet payload bytes), and the flagship — all fully oracled
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -472,37 +471,62 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def _q_multimodal(spark, sf_dir):
-    from spacy_ann_linker_spark.extras.multimodal import decode_features, synthesize_media
+    """Fake decode over the SAME parquet payload bytes the oracle reads
+    (synthesize_media produces identical rows — asserted in tests); every
+    output column is md5-hex arithmetic DuckDB recomputes exactly."""
+    from spacy_ann_linker_spark.extras.multimodal import decode_features
 
-    media = synthesize_media(spark, 200)
+    aux = _ensure_flagship_aux()
+    media = spark.read.parquet(f"{aux}/media.parquet")
     return decode_features(media, fake=True).select(
         "media_id", "kind", "n_bytes", "checksum", "width", "height"
     )
 
 
-AUX_DIR = "/tmp/spark_graft_flagship_aux_v1"
+# Bump when the fixture GENERATION code below changes semantics; the aux dir
+# name is derived from this + the golden-KB bytes, so stale fixtures from
+# older code are never silently reused (each version builds a fresh dir).
+_AUX_VERSION = 2
+
+
+def _aux_dir() -> str:
+    import hashlib
+    import json as _json
+
+    from spacy_ann_linker_spark.data.golden_kb import _read_golden_kb
+
+    h = hashlib.blake2b(digest_size=8)
+    h.update(f"v{_AUX_VERSION}:".encode())
+    h.update(_json.dumps(_read_golden_kb(), sort_keys=True).encode())
+    return f"/tmp/spark_graft_flagship_aux_{h.hexdigest()}"
 
 
 def _ensure_flagship_aux() -> str:
     """Materialize the flagship's INPUT fixtures as plain parquet for the
     DuckDB oracle: golden alias->entity map, pure-python entity/context
     vectors (the seeded en_core_web_md stand-in — fixture data, same role as
-    embeddings.parquet), and the 400-turn gold mentions. All OPERATORS
-    (tfidf fit/transform, cosine join, thresholds, rescue, priors, argmax)
-    are recomputed in SQL by the oracle — only inputs are shared. Everything
-    here is pure python (no Spark), deterministic, and idempotent."""
+    embeddings.parquet), the 400-turn gold mentions, and the fake media
+    payloads. All OPERATORS (tfidf fit/transform, cosine join, thresholds,
+    rescue, priors, argmax, media decode) are recomputed in SQL by the
+    oracle — only inputs are shared. Everything here is pure python (no
+    Spark), deterministic, and published ATOMICALLY: built into a temp dir,
+    then os.rename'd into place, so concurrent first runs never observe a
+    partially written fixture."""
     import os
+    import shutil
 
-    done = os.path.join(AUX_DIR, "_done")
-    if os.path.exists(done):
-        return AUX_DIR
+    final = _aux_dir()
+    if os.path.isdir(final):
+        return final
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from spacy_ann_linker_spark.data.golden_kb import read_resource_jsonl
     from spacy_ann_linker_spark.data.transcripts import turn_record
     from spacy_ann_linker_spark.data.word_vectors import mean_pool
+    from spacy_ann_linker_spark.extras.multimodal import fake_media_record
 
+    AUX_DIR = f"{final}.tmp.{os.getpid()}"
     os.makedirs(AUX_DIR, exist_ok=True)
 
     # entities: F7 first-wins dedup, then V3 description mean-pool vectors
@@ -573,9 +597,24 @@ def _ensure_flagship_aux() -> str:
         ),
         os.path.join(AUX_DIR, "ctx.parquet"),
     )
-    with open(done, "w") as f:
-        f.write("ok")
-    return AUX_DIR
+
+    # fake media payloads (multimodal_decode input — same bytes both engines)
+    med = [fake_media_record(g) for g in range(200)]
+    pq.write_table(
+        pa.table(
+            {"media_id": pa.array([m["media_id"] for m in med], pa.int64()),
+             "kind": pa.array([m["kind"] for m in med], pa.string()),
+             "mime": pa.array([m["mime"] for m in med], pa.string()),
+             "payload": pa.array([m["payload"] for m in med], pa.binary())}
+        ),
+        os.path.join(AUX_DIR, "media.parquet"),
+    )
+
+    try:
+        os.rename(AUX_DIR, final)  # atomic publish
+    except OSError:
+        shutil.rmtree(AUX_DIR, ignore_errors=True)  # another process won
+    return final
 
 
 def _q_link_transcripts(spark, sf_dir):
@@ -680,7 +719,7 @@ def _flagship_oracle_sql() -> str:
     jaro_winkler_similarity verified float-equal to the engine's UDF on the
     full mention x alias population), alias->entity expansion, context-cosine
     disambiguation with (similarity DESC, ent_pos ASC) argmax."""
-    aux = AUX_DIR
+    aux = _ensure_flagship_aux()
     return rf"""
     WITH amap AS (SELECT * FROM read_parquet('{aux}/alias_map.parquet')),
     als AS (SELECT DISTINCT alias FROM amap),
@@ -798,9 +837,16 @@ def _flagship_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    _ensure_flagship_aux()
+    aux = _ensure_flagship_aux()
     return {
         "link_transcripts": _flagship_oracle_sql(),
+        "multimodal_decode": f"""
+        SELECT media_id, kind, octet_length(payload) AS n_bytes,
+               md5(lower(hex(payload))) AS checksum,
+               16 + (('0x' || substr(md5(lower(hex(payload))), 1, 4))::INT % 64) AS width,
+               16 + (('0x' || substr(md5(lower(hex(payload))), 5, 4))::INT % 64) AS height
+        FROM read_parquet('{aux}/media.parquet')
+        """,
         "a1_ngram_document_frequency": _GRAMS_CTE + "SELECT ngram, df FROM vocab",
         "a2_idf_vocabulary": _GRAMS_CTE + "SELECT ngram, df, round(idf, 6) AS idf FROM vocab",
         "v2_tfidf_weights": _GRAMS_CTE

@@ -6,6 +6,13 @@ The decode step is STUBBED (no image/audio libs in this container): with
 derived from the bytes) so the Spark-side plumbing — schema, batching,
 partition sizing — is real and tested; with `fake=False` it raises
 NotImplementedError where a cv2/PIL/ffmpeg call would go.
+
+The fake decode is ORACLE-EXACT, not just deterministic: every derived
+column is a pure function of md5 over the payload's lowercase hex
+(checksum = md5(payload.hex()); width/height/features = hex-slice
+arithmetic on that digest), so DuckDB recomputes the whole operator with
+md5()/hex()/substr() over the same parquet payload bytes — the decode stub
+gets a full value-level oracle row like every other operator.
 """
 
 from __future__ import annotations
@@ -34,25 +41,28 @@ _FEATURE_SCHEMA = (
 )
 
 
+def fake_media_record(gid: int, seed: int = 42) -> dict:
+    """One deterministic fake media row (pure python — shared by the Spark
+    synthesizer below and the oracle's parquet fixture builder, so both
+    engines decode byte-identical payloads). Payload length varies with the
+    id so n_bytes is a non-constant column."""
+    h = hashlib.blake2b(f"{seed}:{gid}".encode(), digest_size=32).digest()
+    kind = ["image", "audio", "video"][int(gid) % 3]
+    return {
+        "media_id": int(gid),
+        "kind": kind,
+        "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+        "payload": h * (4 + int(gid) % 5),
+        "meta": {"seed": str(seed)},
+    }
+
+
 def synthesize_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests: payload = seeded bytes."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for gid in pdf["id"]:
-                h = hashlib.blake2b(f"{seed}:{gid}".encode(), digest_size=32).digest()
-                kind = ["image", "audio", "video"][int(gid) % 3]
-                rows.append(
-                    {
-                        "media_id": int(gid),
-                        "kind": kind,
-                        "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                        "payload": h * 8,
-                        "meta": {"seed": str(seed)},
-                    }
-                )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame([fake_media_record(gid, seed) for gid in pdf["id"]])
 
     return spark.range(n).mapInPandas(
         gen, schema="media_id long, kind string, mime string, payload binary, meta map<string,string>"
@@ -72,9 +82,11 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     "real media decode requires cv2/PIL/librosa — not in this container"
                 )
             # column-wise over the Arrow batch (no iterrows): hashing is
-            # inherently per-payload, everything else is list/ndarray ops
+            # inherently per-payload, everything else is list/ndarray ops.
+            # checksum = md5 of the payload's LOWERCASE HEX — the cross-engine
+            # form (DuckDB 1.0 md5 accepts VARCHAR only: md5(lower(hex(p))))
             payloads = [bytes(p or b"") for p in pdf["payload"]]
-            digests = [hashlib.blake2b(p, digest_size=16).hexdigest() for p in payloads]
+            digests = [hashlib.md5(p.hex().encode()).hexdigest() for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),

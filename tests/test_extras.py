@@ -101,12 +101,33 @@ def test_multimodal_decode_plumbing(spark):
     feats = decode_features(media, fake=True)
     rows = feats.collect()
     assert len(rows) == 30
-    assert all(len(r["features"]) == 8 and r["n_bytes"] == 256 for r in rows)
+    assert all(
+        len(r["features"]) == 8 and r["n_bytes"] == 32 * (4 + r["media_id"] % 5)
+        for r in rows
+    )
     # deterministic: same payload -> same checksum on re-run
     again = {r["media_id"]: r["checksum"] for r in decode_features(media, fake=True).collect()}
     assert all(again[r["media_id"]] == r["checksum"] for r in rows)
     frames = frame_sample(media, every_n=5)
     assert frames.count() == 10 * 5  # 10 videos x 5 frames
+
+
+def test_synthesize_media_matches_oracle_fixture(spark):
+    """The oracle's media.parquet and the Spark synthesizer produce
+    byte-identical payload rows (the multimodal_decode query's contract)."""
+    from spacy_ann_linker_spark.extras.multimodal import synthesize_media
+    import __spark_entry__ as entry_mod
+
+    aux = entry_mod._ensure_flagship_aux()
+    fixture = {
+        r["media_id"]: (r["kind"], bytes(r["payload"]))
+        for r in spark.read.parquet(f"{aux}/media.parquet").collect()
+    }
+    synth = {
+        r["media_id"]: (r["kind"], bytes(r["payload"]))
+        for r in synthesize_media(spark, 200).collect()
+    }
+    assert synth == fixture
 
 
 def test_multimodal_real_decode_raises(spark):

@@ -64,26 +64,29 @@ def connected_components_long(edges: DataFrame, max_iter: int = 30) -> DataFrame
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint(eager=True)
 
-    # size the loop's shuffles to the edge count: CC runs O(log n) rounds of
-    # tiny-to-huge shuffles, and a fixed session-wide partition count either
-    # drowns small graphs in empty tasks or chokes big ones — target ~500k
-    # edges per partition, capped at the session setting
+    # size the loop's materialized partitions to the edge count: CC runs
+    # O(log n) rounds, and a fixed session-wide partition count either drowns
+    # small graphs in empty tasks or chokes big ones — target ~500k edges per
+    # partition, capped at the session setting. The sizing is an EXPLICIT
+    # repartition on the checkpointed edge set each round, never a mutation
+    # of session-global spark.sql.shuffle.partitions (which would leak the
+    # clamped value into any concurrent job on the same session — streaming
+    # micro-batches, parallel checkpoint stages).
     spark = e.sparkSession
     n0 = e.count()
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     parts = max(4, min(session_parts, n0 // 500_000 + 4))
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        prev = None
-        for _ in range(max_iter):
-            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-            cur = _checksum(e)
-            if cur == prev:
-                break
-            prev = cur
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    prev = None
+    for _ in range(max_iter):
+        e = (
+            _small_star(_large_star(e))
+            .repartition(parts, "src")
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
     # converged edge set is a star forest: src -> component root
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))

@@ -33,10 +33,13 @@ def read_resource_jsonl(name: str) -> list[dict]:
 
 def load_entities(spark: SparkSession, path: str | None = None) -> DataFrame:
     """S1: JSONL entity scan with explicit schema (cli/create_index.py:57).
-    With a path, reads via spark.read.json; default loads the packaged
-    golden fixture (zip-safe)."""
+    With a path, reads via spark.read.json and attaches `_file_pos` at scan
+    time so F7 first-wins dedup is file-order-deterministic under any later
+    repartitioning; default loads the packaged golden fixture (zip-safe)."""
     if path is not None:
-        return spark.read.schema(ENTITY_SCHEMA).json(path)
+        from spacy_ann_linker_spark.kb.build import with_file_order
+
+        return with_file_order(spark.read.schema(ENTITY_SCHEMA).json(path))
     rows = _read_golden_kb()["entities"]
     cols = [f.name for f in ENTITY_SCHEMA.fields]
     return spark.createDataFrame(

@@ -57,18 +57,60 @@ class KnowledgeBase:
         )
 
 
+def file_order_col():
+    """Deterministic "position in file order" sort key, valid when attached
+    directly to a file-scan projection (BEFORE any shuffle): sorts by file
+    name, then split offset within the file, then row position within the
+    split. Unlike bare monotonically_increasing_id — whose partition-index
+    high bits follow Spark's size-ordered split packing, not file order —
+    this key is stable under re-splitting and re-reading, and it survives
+    any later repartition because the struct is computed at scan time."""
+    return F.struct(
+        F.input_file_name().alias("f"),
+        F.input_file_block_start().alias("b"),
+        F.monotonically_increasing_id().alias("i"),
+    )
+
+
+def with_file_order(df: DataFrame, col: str = "_file_pos") -> DataFrame:
+    """Attach the file-order key at scan time. Call on the raw scan output,
+    then repartition/shuffle freely — `dedup_entities` (and any first-wins
+    consumer) picks `_file_pos` up automatically."""
+    return df.withColumn(col, file_order_col())
+
+
 def dedup_entities(entities_df: DataFrame, order_col: str | None = None) -> DataFrame:
-    """F7: first record per id wins. With no explicit order column the input
-    file order is approximated per-partition; at cluster scale "first" needs
-    an explicit ordering column — callers that care pass one."""
+    """F7: first record per id wins — file order in the reference
+    (create_index.py:90-91). Order resolution, most- to least-explicit:
+
+      * `order_col` if given;
+      * a `_file_pos` column if present (attach via `with_file_order()` at
+        scan time; survives any later repartition — the cluster-scale path);
+      * single-partition input: monotonically_increasing_id (exact);
+      * otherwise the file-order key is attached inline — correct when
+        `entities_df` is still a file-scan projection (pre-shuffle);
+        post-shuffle multi-partition callers must pass `order_col`.
+    """
+    drop_cols = ["_rn"]
     if order_col is None:
-        entities_df = entities_df.withColumn("_pos", F.monotonically_increasing_id())
-        order_col = "_pos"
+        if "_file_pos" in entities_df.columns:
+            order_col = "_file_pos"
+            drop_cols.append("_file_pos")
+        elif entities_df.rdd.getNumPartitions() <= 1:
+            entities_df = entities_df.withColumn("_pos", F.monotonically_increasing_id())
+            order_col = "_pos"
+            drop_cols.append("_pos")
+        else:
+            entities_df = entities_df.withColumn("_pos", file_order_col())
+            order_col = "_pos"
+            drop_cols.append("_pos")
+    elif order_col in entities_df.columns and order_col.startswith("_"):
+        drop_cols.append(order_col)
     w = Window.partitionBy("id").orderBy(F.col(order_col).asc())
     return (
         entities_df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_pos")
+        .drop(*drop_cols)
     )
 
 

@@ -9,7 +9,7 @@ def _components_of(rows):
     comps = {}
     for r in rows:
         comps.setdefault(r["component"], set()).add(r["node"])
-    return sorted(frozenset(v) for v in comps.values())
+    return sorted((frozenset(v) for v in comps.values()), key=lambda fs: sorted(fs))
 
 
 def test_two_chains(spark):
@@ -17,7 +17,7 @@ def test_two_chains(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], "src long, dst long"
     )
     got = _components_of(connected_components_long(edges).collect())
-    assert got == sorted([frozenset({1, 2, 3, 4}), frozenset({10, 11, 12})])
+    assert got == sorted([frozenset({1, 2, 3, 4}), frozenset({10, 11, 12})], key=lambda fs: sorted(fs))
 
 
 def test_component_label_is_min(spark):
@@ -33,7 +33,7 @@ def test_star_and_cycle(spark):
         [(1, 2), (1, 3), (1, 4), (20, 21), (21, 22), (22, 20)], "src long, dst long"
     )
     got = _components_of(connected_components_long(edges).collect())
-    assert got == sorted([frozenset({1, 2, 3, 4}), frozenset({20, 21, 22})])
+    assert got == sorted([frozenset({1, 2, 3, 4}), frozenset({20, 21, 22})], key=lambda fs: sorted(fs))
 
 
 def test_string_nodes(spark):
@@ -44,10 +44,43 @@ def test_string_nodes(spark):
     by_comp = {}
     for r in rows:
         by_comp.setdefault(r["component"], set()).add(r["node"])
-    comps = sorted(frozenset(v) for v in by_comp.values())
+    comps = sorted((frozenset(v) for v in by_comp.values()), key=lambda fs: sorted(fs))
     assert comps == sorted(
-        [frozenset({"m:nlp", "m:NLP", "e:a3"}), frozenset({"m:ml", "e:a1"})]
+        [frozenset({"m:nlp", "m:NLP", "e:a3"}), frozenset({"m:ml", "e:a1"})],
+        key=lambda fs: sorted(fs),
     )
+
+
+def test_cc_leaves_session_conf_untouched(spark):
+    """CC sizes its loop shuffles with explicit repartition, never by
+    mutating session-global spark.sql.shuffle.partitions — a concurrent job
+    on the same session must see the original value at every point. A second
+    action runs interleaved with the CC rounds (from a worker thread) and
+    records the conf it observes."""
+    import threading
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    observed, stop = [], threading.Event()
+
+    def prober():
+        while not stop.is_set():
+            observed.append(spark.conf.get(key))
+            spark.range(100).groupBy((F.col("id") % 3).alias("k")).count().collect()
+
+    t = threading.Thread(target=prober)
+    t.start()
+    try:
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 400, 2)] + [(i, i + 2) for i in range(0, 300, 3)],
+            "src long, dst long",
+        )
+        connected_components_long(edges).collect()
+    finally:
+        stop.set()
+        t.join()
+    assert spark.conf.get(key) == before
+    assert set(observed) == {before}, f"conf leaked mid-run: {set(observed)}"
 
 
 def test_large_random_graph_matches_networkx_free_oracle(spark):
@@ -81,4 +114,5 @@ def test_large_random_graph_matches_networkx_free_oracle(spark):
     got = {}
     for r in rows:
         got.setdefault(r["component"], set()).add(r["node"])
-    assert sorted(map(frozenset, got.values())) == sorted(map(frozenset, want.values()))
+    k = lambda fs: sorted(fs)
+    assert sorted(map(frozenset, got.values()), key=k) == sorted(map(frozenset, want.values()), key=k)

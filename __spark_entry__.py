@@ -461,6 +461,14 @@ def _q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_simhash_lsh(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.dedup import simhash_lsh_pairs
+
+    return simhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", bands=4, max_hamming=3
+    )
+
+
 def _q_ivf_topk(spark, sf_dir):
     from spacy_ann_linker_spark.extras.similarity_search import ivf_topk
 
@@ -667,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_time_window": _q_event_time_window,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_lsh": _q_simhash_lsh,
         "ann_ivf_topk": _q_ivf_topk,
         "multimodal_decode": _q_multimodal,
         "link_transcripts": _q_link_transcripts,
@@ -1230,6 +1239,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                (sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END))::BIGINT AS simhash
         FROM votes GROUP BY doc_id
+        """,
+        "dedup_simhash_lsh": r"""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                                       i -> substring(t, i, 3))) AS g
+          FROM norm
+        ), h AS (
+          SELECT doc_id, (('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT AS h FROM grams
+        ), bits AS (SELECT unnest(generate_series(0, 59)) AS bit),
+        votes AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h, bits GROUP BY doc_id, bit
+        ), sigs AS (
+          SELECT doc_id,
+                 (sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END))::BIGINT AS simhash
+          FROM votes GROUP BY doc_id
+        ), bnd AS (
+          SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bucket
+          FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM bnd a JOIN bnd b ON a.b = b.b AND a.bucket = b.bucket
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "cc_components": """
         WITH RECURSIVE edges AS (

@@ -176,6 +176,56 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 6
     )
 
 
+def simhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash banded neighbor join — the bucketed (non-all-pairs) way to
+    QUERY simhash signatures at scale, same shape as `minhash_lsh_pairs`:
+    split the signature into `bands` contiguous bit bands, bucket-join on
+    (band, band bits), then verify hamming(sig_a, sig_b) <= max_hamming on
+    the candidates (one JVM bit_count(xor), no Python).
+
+    By pigeonhole, any pair with hamming <= bands - 1 shares at least one
+    intact band, so with the defaults (4 bands, max_hamming 3) recall vs the
+    brute-force hamming join is EXACTLY 1.0 — asserted in tests. Cost is
+    linear in corpus size + band-bucket collisions, never quadratic.
+    -> (id_a, id_b, hamming)"""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}) for the "
+            "pigeonhole recall guarantee; raise bands or lower max_hamming"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, id_col, text_col, n=n, bits=bits)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn("bucket", F.expr(f"(simhash >> (band * {width})) & {mask}"))
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
 ) -> DataFrame:

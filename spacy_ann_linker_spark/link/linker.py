@@ -49,6 +49,8 @@ def best_aliases(
     jw_threshold: float = 0.88,
     use_blocking: bool = False,
     max_gram_df: int | None = None,
+    broadcast_rescue_aliases: bool = True,
+    rescue_salt_buckets: int = 16,
 ) -> DataFrame:
     """(text, alias, similarity) — best surviving alias per distinct mention
     string (T2: `alias_candidates[0]` after the strict-> threshold filter).
@@ -59,7 +61,15 @@ def best_aliases(
     second chance via Jaro-Winkler against blocking-key-compatible aliases
     (same first lowercase character, |length delta| <= 4) — the north_star's
     JW/Levenshtein scoring stage. Char-level edits destroy most of a short
-    word's 3-grams (cosine collapses) while JW degrades gracefully."""
+    word's 3-grams (cosine collapses) while JW degrades gracefully.
+
+    broadcast_rescue_aliases: True (default) broadcasts the alias block
+    table — right for KB-sized alias sets, a hard OOM at a 100M-alias
+    gazetteer. False runs a SALTED shuffle join instead: the first-character
+    block key has only ~|alphabet| distinct values, so without salting every
+    's...' alias lands on one reducer; aliases pick a deterministic salt
+    from their own string, unmatched mentions replicate across all
+    `rescue_salt_buckets` (identical result set, verified in tests)."""
     # global argmax == rank-1 of top-k for any k, so the linking path skips
     # the top-k sort window entirely (hash aggregations only); strict >
     # threshold applied after, same as filtering the k-list then taking [0].
@@ -89,11 +99,27 @@ def best_aliases(
         F.lower(F.substring("alias", 1, 1)).alias("_bk"),
         F.length("alias").alias("_alen"),
     )
+    keyed = unmatched.withColumn("_bk", F.lower(F.substring("text", 1, 1))).withColumn(
+        "_tlen", F.length("text")
+    )
+    if broadcast_rescue_aliases:
+        paired = keyed.join(F.broadcast(aliases), "_bk")
+    else:
+        # salted shuffle join (hot first-character blocks): aliases are the
+        # big side — each picks a deterministic bucket from its own string;
+        # the (distinct-mention-sized) unmatched side replicates into all
+        # buckets, so every (mention, alias) pair still meets exactly once
+        from spacy_ann_linker_spark.operators.salted import salted_join
+
+        paired = salted_join(
+            big=aliases,
+            small=keyed,
+            key="_bk",
+            salt_buckets=rescue_salt_buckets,
+            salt_source="alias",
+        )
     blocked = (
-        unmatched.withColumn("_bk", F.lower(F.substring("text", 1, 1)))
-        .withColumn("_tlen", F.length("text"))
-        .join(F.broadcast(aliases), "_bk")
-        .filter(F.abs(F.col("_tlen") - F.col("_alen")) <= 4)
+        paired.filter(F.abs(F.col("_tlen") - F.col("_alen")) <= 4)
         # Levenshtein prefilter (JVM built-in, with early-exit bound) before
         # the pandas-UDF Jaro-Winkler — north_star's JW/Levenshtein pair
         .filter(F.levenshtein(F.lower("text"), F.lower("alias"), 8) >= 0)
@@ -154,6 +180,7 @@ def link_mentions(
     fuzzy_rescue: bool = False,
     use_blocking: bool = False,
     max_gram_df: int | None = None,
+    broadcast_rescue_aliases: bool = True,
     dim: int = 64,
 ) -> DataFrame:
     """mentions (MENTION_SCHEMA) + turns (TRANSCRIPT_SCHEMA) -> links.
@@ -180,6 +207,7 @@ def link_mentions(
         fuzzy_rescue=fuzzy_rescue,
         use_blocking=use_blocking,
         max_gram_df=max_gram_df,
+        broadcast_rescue_aliases=broadcast_rescue_aliases,
     ).persist()
     mam.count()
 

@@ -241,6 +241,7 @@ def extract_mentions_gazetteer(
     label: str | None = None,
     case_insensitive: bool = False,
     broadcast_aliases: bool = True,
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Distributed gazetteer: turns (TRANSCRIPT_SCHEMA) x aliases_df(alias)
     -> mentions (MENTION_SCHEMA), with NO pattern list on the driver.
@@ -254,7 +255,13 @@ def extract_mentions_gazetteer(
 
     Semantics match `extract_mentions` for ASCII text; boundary checks here
     use Java's \\w (ASCII) vs Python's unicode \\w in the regex engine —
-    the one documented divergence, exercised nowhere in the fixtures."""
+    the one documented divergence, exercised nowhere in the fixtures.
+
+    salt_buckets (only with broadcast_aliases=False): a hot first word
+    shared by many aliases ("The ...") funnels every matching token to one
+    reducer in the shuffle join; salt_buckets > 0 salts the token side
+    deterministically and replicates aliases into every bucket — identical
+    results (verified in tests), max reducer load / salt_buckets."""
     al = aliases_df.select("alias").distinct()
     al = (
         al.withColumn("_plen", F.length(F.regexp_extract("alias", r"^\W*", 0)))
@@ -265,8 +272,6 @@ def extract_mentions_gazetteer(
     tok_key = F.lower(F.col("_tok")) if case_insensitive else F.col("_tok")
     fw_key = F.lower(F.col("_fw")) if case_insensitive else F.col("_fw")
     al = al.withColumn("_k", fw_key).drop("_fw")
-    if broadcast_aliases:
-        al = F.broadcast(al)
 
     toks = turns.select(
         "conv_id",
@@ -285,10 +290,17 @@ def extract_mentions_gazetteer(
     alias_cmp = (
         (F.lower(slice_) == F.lower(F.col("alias"))) if case_insensitive else (slice_ == F.col("alias"))
     )
+    keyed_toks = toks.withColumn("_k", tok_key)
+    if broadcast_aliases:
+        paired = keyed_toks.join(F.broadcast(al), "_k")
+    elif salt_buckets > 0:
+        from spacy_ann_linker_spark.operators.salted import salted_join
+
+        paired = salted_join(keyed_toks, al, key="_k", salt_buckets=salt_buckets)
+    else:
+        paired = keyed_toks.join(al, "_k")
     cands = (
-        toks.withColumn("_k", tok_key)
-        .join(al, "_k")
-        .withColumn("_start", F.col("_pos") - F.col("_plen"))
+        paired.withColumn("_start", F.col("_pos") - F.col("_plen"))
         .filter(F.col("_start") >= 0)
         .filter(alias_cmp)
         .withColumn("_end", F.col("_start") + F.col("_alen"))

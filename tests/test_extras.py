@@ -45,6 +45,46 @@ def test_simhash_similar_docs_low_hamming(spark):
     assert ham12 + 8 <= ham13
 
 
+def test_simhash_lsh_pairs_equal_brute_hamming(spark):
+    """Pigeonhole guarantee: with 4 bands and max_hamming=3, the banded join
+    finds EXACTLY the pairs a brute-force hamming join would (recall 1.0,
+    and the post-verify filter removes every false candidate)."""
+    from spacy_ann_linker_spark.extras.dedup import simhash, simhash_lsh_pairs
+
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    rows = [(i, base + f" variant {i % 7}") for i in range(40)] + [
+        (100 + i, f"completely different text number {i} about spark engines") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    brute = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert brute, "fixture should contain at least one near-dup pair"
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_lsh_pairs(df, "doc_id", "text", bands=4, max_hamming=3).collect()
+    }
+    assert set(got) == brute
+    assert all(
+        got[(a, b)] == bin(sigs[a] ^ sigs[b]).count("1") for (a, b) in got
+    )
+
+
+def test_simhash_lsh_rejects_unguaranteed_params(spark):
+    import pytest as _pytest
+
+    from spacy_ann_linker_spark.extras.dedup import simhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_lsh_pairs(df, "doc_id", "text", bands=4, max_hamming=4)
+
+
 def test_ivf_matches_bruteforce_at_full_probe(spark):
     from spacy_ann_linker_spark.extras.similarity_search import cosine_topk, ivf_topk
 

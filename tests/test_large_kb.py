@@ -46,6 +46,53 @@ def test_exact_mentions_resolve(spark, big_model):
     assert wall < 120, f"large-KB resolution too slow: {wall:.0f}s"
 
 
+def test_fuzzy_rescue_salted_equals_broadcast(spark, big_model):
+    """VERDICT r2 item 4: the JW rescue join with broadcast OFF (salted
+    shuffle on the first-character block key) returns exactly the broadcast
+    path's result on a 40k-alias KB — same rescued aliases, same scores."""
+    from spacy_ann_linker_spark.link.linker import best_aliases
+
+    kb, cand = big_model
+    # the initials-family aliases (QNC42-style, len 4-6): a one-char edit
+    # destroys most char-3-grams (cosine < 0.7) while JW stays ~0.92 — the
+    # exact population the rescue exists for
+    probes = (
+        kb.alias_map.filter((F.length("alias") >= 5) & (F.length("alias") <= 6))
+        .filter(F.col("ent_pos") == 0)
+        .select("alias")
+        .distinct()
+        .limit(80)
+        .withColumn(
+            "text", F.concat(F.expr("substring(alias, 1, length(alias)-1)"), F.lit("x"))
+        )
+    )
+    texts = probes.select("text").distinct().persist()
+    n_texts = texts.count()
+
+    no_rescue = best_aliases(cand, texts, exact_fast_path=True)
+    n_base = no_rescue.count()
+    assert n_base < n_texts, "fixture must leave some mentions unmatched for rescue"
+
+    def keyed(df):
+        return {(r["text"], r["alias"], round(r["similarity"], 9)) for r in df.collect()}
+
+    bcast = keyed(
+        best_aliases(cand, texts, exact_fast_path=True, fuzzy_rescue=True)
+    )
+    salted = keyed(
+        best_aliases(
+            cand,
+            texts,
+            exact_fast_path=True,
+            fuzzy_rescue=True,
+            broadcast_rescue_aliases=False,
+            rescue_salt_buckets=8,
+        )
+    )
+    assert bcast == salted
+    assert len(bcast) > n_base, "rescue should have recovered extra mentions"
+
+
 def test_fuzzy_argmax_is_exact(spark, big_model):
     """The engine's returned alias must score >= the perturbed source alias
     (true argmax over the whole 40k-alias space). The pool-composed aliases

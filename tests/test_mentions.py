@@ -139,6 +139,43 @@ def test_gazetteer_40k_alias_kb_bounded(spark):
     assert gaz_sec < 120 and ac_sec < 120  # bounded even on a throttled host
 
 
+def test_gazetteer_salted_join_equals_broadcast_on_hot_first_word(spark):
+    """Skew path (VERDICT r2 item 6): an alias table where half the aliases
+    share the first word "The" — the exact shape that funnels one join key
+    to one reducer. The salted non-broadcast plan must replicate the alias
+    side across buckets and return EXACTLY the broadcast path's mentions."""
+    from spacy_ann_linker_spark.mentions.extract import extract_mentions_gazetteer
+
+    hot = [f"The topic {i}" for i in range(50)]
+    cold = [f"subject{i} matter" for i in range(50)]
+    aliases = spark.createDataFrame([(a,) for a in hot + cold], "alias string")
+    texts = [
+        f"we discussed The topic {i % 50} and subject{(i * 7) % 50} matter today"
+        for i in range(120)
+    ] + ["The unrelated thing", "no mentions here"]
+    turns = spark.createDataFrame(
+        [("c1", i, "user", s, "", None) for i, s in enumerate(texts)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+    def key_set(df):
+        return {
+            (r["conv_id"], r["turn_idx"], r["start"], r["end"], r["text"])
+            for r in df.collect()
+        }
+
+    want = key_set(extract_mentions_gazetteer(turns, aliases, broadcast_aliases=True))
+    salted = extract_mentions_gazetteer(
+        turns, aliases, broadcast_aliases=False, salt_buckets=8
+    )
+    assert key_set(salted) == want and len(want) >= 240
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, "salted replication missing from the physical plan"
+    # plain shuffle path (no salting) also agrees
+    plain = extract_mentions_gazetteer(turns, aliases, broadcast_aliases=False)
+    assert key_set(plain) == want
+
+
 def test_gazetteer_punctuation_aliases_match_regex(spark):
     """Aliases starting/ending with non-word chars (.NET, C++) and nested
     word-boundary traps (ML inside HTML) behave identically across engines."""

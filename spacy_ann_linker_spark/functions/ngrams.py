@@ -55,8 +55,13 @@ def char_wb_ngrams_col(text_col, n: int = 3):
     analyze stage stays inside whole-stage codegen. Identical output to
     `char_wb_ngrams` (sklearn semantics) for any n <= 3 input: a padded word
     is always >= 3 chars, so the short-word emit-whole branch is
-    unreachable."""
-    words = F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != "")
+    unreachable.
+
+    (?U) = Java UNICODE_CHARACTER_CLASS, so \\s matches the same unicode
+    whitespace set Python's str.split() splits on (NBSP, thin space, ...);
+    without it Java's ASCII \\s would vectorize U+00A0-bearing text
+    differently from the sklearn reference."""
+    words = F.filter(F.split(F.lower(text_col), r"(?U)\s+"), lambda w: w != "")
 
     def word_grams(w):
         pad = F.concat(F.lit(" "), w, F.lit(" "))

@@ -38,6 +38,32 @@ from spacy_ann_linker_spark.link.embedding import (
 
 DEFAULT_THRESHOLD = 0.7  # ann_linker.py:49
 
+# persisted memo tables (mention_alias_map and the pre-rescue candidate set)
+# registered here so long-running callers (the serve loop, streaming
+# foreachBatch) can release executor storage after each request instead of
+# waiting for driver GC + ContextCleaner
+_PERSISTED_MEMOS: list = []
+
+
+def _register_memo(df: DataFrame) -> DataFrame:
+    _PERSISTED_MEMOS.append(df)
+    return df
+
+
+def release_memos() -> int:
+    """Unpersist every memo table registered since the last release.
+    Safe to call any time AFTER the linking output has been materialized
+    (collect/write); returns the number of tables released."""
+    n = 0
+    while _PERSISTED_MEMOS:
+        df = _PERSISTED_MEMOS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def best_aliases(
     model: CandidateModel,
@@ -88,7 +114,7 @@ def best_aliases(
     # and materialize EAGERLY: both consumers run concurrently in the final
     # job, and a lazy persist lets each recompute the whole candidate-join
     # subtree (measured ~3x wall on the bench input)
-    best = best.persist()
+    best = _register_memo(best.persist())
     best.count()
 
     from spacy_ann_linker_spark.functions.stringsim import jaro_winkler_udf
@@ -209,6 +235,7 @@ def link_mentions(
         max_gram_df=max_gram_df,
         broadcast_rescue_aliases=broadcast_rescue_aliases,
     ).persist()
+    _register_memo(mam)
     mam.count()
 
     # J6 alias -> entity expansion with uniform priors

@@ -62,9 +62,16 @@ def link_documents(
     ).withColumn("mention_id", F.xxhash64("conv_id", "turn_idx", "start"))
     if not mention_rows:
         mentions = mentions.filter(F.col("conv_id") != "")
-    links = link_mentions(
-        mentions, turns, model.kb, model.cand, threshold=threshold
-    ).collect()
+    from spacy_ann_linker_spark.link.linker import release_memos
+
+    try:
+        links = link_mentions(
+            mentions, turns, model.kb, model.cand, threshold=threshold
+        ).collect()
+    finally:
+        # long-running server: free the per-request memo caches immediately
+        # instead of accumulating persisted tables until ContextCleaner GC
+        release_memos()
     by_span = {(r["conv_id"], r["start"], r["end"]): r["entity_id"] for r in links}
 
     out = []
@@ -106,15 +113,24 @@ def make_server(spark: SparkSession, model, host: str = "127.0.0.1", port: int =
             if parsed.path != "/link":
                 self._send(404, {"detail": "unknown route"})
                 return
-            q = parse_qs(parsed.query)
-            threshold = float(q.get("similarity_threshold", ["0.65"])[0])
-            n = int(self.headers.get("Content-Length", "0"))
+            # client errors (malformed query param / body) -> 400 with a JSON
+            # response; anything that fails past validation is a 500 — a
+            # malformed similarity_threshold must never drop the connection
             try:
+                q = parse_qs(parsed.query)
+                threshold = float(q.get("similarity_threshold", ["0.65"])[0])
+                n = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 docs = body.get("documents") or []
+                if not isinstance(docs, list):
+                    raise ValueError("documents must be a list")
+            except (ValueError, json.JSONDecodeError) as ex:
+                self._send(400, {"detail": f"bad request: {ex}"})
+                return
+            try:
                 out = link_documents(spark, model, docs, threshold=threshold)
                 self._send(200, {"documents": out})
-            except Exception as ex:  # noqa: BLE001 — surface as HTTP 400
-                self._send(400, {"detail": str(ex)})
+            except Exception as ex:  # noqa: BLE001 — server-side failure
+                self._send(500, {"detail": str(ex)})
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -114,13 +114,16 @@ def find_spans_ac(text: str, ac: AhoCorasick, label: str | None) -> list[dict] |
     """AC-based equivalent of `find_spans`: word-boundary filter + greedy
     leftmost-longest selection replicate the regex scanner exactly (the
     scanner never retries a position before the previous match's end, and at
-    each position the longest alternative wins). Returns None when
-    case-folding changes string length (rare unicode) — caller falls back to
-    the regex engine for that text."""
+    each position the longest alternative wins). Returns None — caller falls
+    back to the regex engine for that text — when lower() changes string
+    length (rare unicode) OR when the text contains chars whose lower() and
+    casefold() disagree (e.g. 'ſ' LATIN SMALL LETTER LONG S: re.IGNORECASE
+    simple-folds it to 's' but lower() keeps it, so the AC automaton built
+    on lower() would miss matches the reference regex path finds)."""
     if not text:
         return []
     key = text.lower() if ac.ci else text
-    if len(key) != len(text):
+    if ac.ci and (len(key) != len(text) or key != text.casefold()):
         return None
     n = len(text)
     best: dict[int, int] = {}
@@ -147,6 +150,11 @@ def find_spans_ac(text: str, ac: AhoCorasick, label: str | None) -> list[dict] |
 # executor memory; compiling once per worker (not per batch) is the point
 _MATCHER_CACHE: dict[str, object] = {}
 
+# driver-side broadcast cache: one Spark broadcast per distinct pattern set,
+# reused across extract_mentions calls — a long-running serve process would
+# otherwise accumulate one broadcast per request until ContextCleaner GC
+_BROADCAST_CACHE: dict[str, object] = {}
+
 
 def _patterns_key(patterns: list[str], ci: bool, kind: str) -> str:
     h = hashlib.blake2b(digest_size=12)
@@ -154,6 +162,21 @@ def _patterns_key(patterns: list[str], ci: bool, kind: str) -> str:
     for p in sorted(set(patterns)):
         h.update(p.encode("utf-8", "ignore") + b"\x00")
     return h.hexdigest()
+
+
+def _get_pattern_broadcast(sc, patterns: list[str]):
+    key = _patterns_key(patterns, False, "bc")
+    bc = _BROADCAST_CACHE.get(key)
+    if bc is None:
+        if len(_BROADCAST_CACHE) > 64:  # bound driver/executor memory
+            for old in _BROADCAST_CACHE.values():
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+            _BROADCAST_CACHE.clear()
+        bc = _BROADCAST_CACHE.setdefault(key, sc.broadcast(list(patterns)))
+    return bc
 
 
 def extract_mentions(
@@ -172,8 +195,15 @@ def extract_mentions(
     mention_id = xxhash64(conv_id, turn_idx, start): deterministic and
     shuffle-free (no monotonically_increasing_id / zipWithIndex)."""
     use_ac = engine == "ac" or (engine == "auto" and len(patterns) >= AC_MIN_PATTERNS)
+    if use_ac and case_insensitive and engine != "ac":
+        # patterns whose lower() and casefold() disagree (ſ, ß, ...) make the
+        # lower()-keyed automaton miss matches re.IGNORECASE finds — keep the
+        # reference-exact regex engine for those pattern sets (the text-side
+        # equivalent falls back per-text inside find_spans_ac)
+        if any(len(p.lower()) != len(p) or p.lower() != p.casefold() for p in patterns):
+            use_ac = False
     sc = turns.sparkSession.sparkContext
-    bc = sc.broadcast(list(patterns))
+    bc = _get_pattern_broadcast(sc, patterns)
     key = _patterns_key(patterns, case_insensitive, "ac" if use_ac else "rx")
 
     @F.pandas_udf(T.ArrayType(SPAN_STRUCT))

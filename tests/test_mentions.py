@@ -95,6 +95,42 @@ def test_ac_engine_case_insensitive_matches_regex(spark):
     assert want == got and len(want) == 4
 
 
+def test_ac_casefold_unicode_matches_regex(spark):
+    """ADVICE r2: re.IGNORECASE simple-folds 'ſ' (LONG S) to 's', but
+    lower() keeps it — the AC engine must fall back to regex for texts (or
+    pattern sets) where lower() and casefold() disagree, so both engines
+    return identical spans."""
+    texts = [
+        "nlpſ is here",   # text-side long s: regex matches pattern 'nlps'
+        "NLPS and nlps",
+        "straße walk",    # ß: casefold length-changes
+    ]
+    t = spark.createDataFrame(
+        [("c1", i, "user", s, "", None) for i, s in enumerate(texts)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    pats = ["nlps", "walk"]
+    want = [
+        (r["turn_idx"], r["start"], r["end"])
+        for r in extract_mentions(t, pats, case_insensitive=True, engine="regex")
+        .orderBy("turn_idx", "start").collect()
+    ]
+    got = [
+        (r["turn_idx"], r["start"], r["end"])
+        for r in extract_mentions(t, pats, case_insensitive=True, engine="ac")
+        .orderBy("turn_idx", "start").collect()
+    ]
+    assert want == got
+    assert (0, 0, 4) in want  # the 'nlpſ' match regex finds must survive
+
+    # pattern-side long s: auto engine must stay on regex for this set
+    pats2 = ["nlpſ"] + [f"p{i}" for i in range(300)]  # >= AC_MIN_PATTERNS
+    t2 = _turns(spark, "NLPS appears")
+    got2 = extract_mentions(t2, pats2, case_insensitive=True, engine="auto").collect()
+    want2 = extract_mentions(t2, pats2, case_insensitive=True, engine="regex").collect()
+    assert [(r["start"], r["end"]) for r in got2] == [(r["start"], r["end"]) for r in want2]
+
+
 def test_gazetteer_matches_regex_on_golden_aliases(spark):
     """The distributed join gazetteer reproduces the regex engine exactly
     over the golden alias list on synthetic transcripts."""

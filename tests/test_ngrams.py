@@ -74,6 +74,10 @@ def test_jvm_column_matches_python_reference(spark):
         "Machine learning", " NLP ", "a", "ab", "a b  c", "", "   ",
         "tabs\tand\nnewlines", "MiXeD CaSe WoRdS", "über café naïve",
         "x" * 50, "a.b,c;d", "research researched researching",
+        # unicode whitespace: str.split() splits on NBSP/thin/ideographic
+        # space and line/paragraph separators — the JVM (?U)\s+ must agree
+        "nbsp\u00a0separated", "thin\u2009space", "ideo\u3000graphic",
+        "line\u2028sep\u2029para", "next\u0085line", "mix\u00a0\u2003\t it",
     ]
     df = spark.createDataFrame([(c,) for c in cases], "text string")
     got = {

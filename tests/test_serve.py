@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 
@@ -57,8 +58,51 @@ def test_serve_http_roundtrip(spark, tmp_path):
         # health route
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=30) as resp:
             assert json.loads(resp.read())["endpoints"] == ["/link"]
+
+        # malformed similarity_threshold -> HTTP 400 JSON, NOT a dropped
+        # connection (ADVICE r2: the parse used to sit outside the handler's
+        # try block)
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/link?similarity_threshold=nan-garbage",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "bad request" in json.loads(e.read())["detail"]
+
+        # malformed JSON body -> 400 too
+        bad2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/link",
+            data=b"{not json",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad2, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
     finally:
         server.shutdown()
+
+
+def test_link_documents_releases_memo_caches(spark):
+    """Every request-scoped persisted memo is unpersisted before
+    link_documents returns (long-running server must not accumulate
+    cached tables)."""
+    from spacy_ann_linker_spark.link import linker as linker_mod
+    from spacy_ann_linker_spark.link.serve import link_documents
+    from spacy_ann_linker_spark.pipeline import build_golden_model
+
+    model = build_golden_model(spark, min_df=1)
+    docs = [{"spans": [{"text": "NLP", "start": 0, "end": 3, "label": "S"}],
+             "context": "NLP is fun"}]
+    link_documents(spark, model, docs)
+    assert linker_mod._PERSISTED_MEMOS == []
 
 
 def test_example_data_cli(tmp_path):

@@ -8,13 +8,17 @@ stream-static broadcast join against the (static) alias->entity map: Arrow
 batches play the role of the 32-doc minibatch, executors play the gunicorn
 workers (cli/serve.py:52-57).
 
-Streaming constraints shape the plan (documented, not worked around):
-stateless stream-static equi-joins only — so the streaming path is the
-exact-alias fast path (J5) against a pre-reduced alias->best-entity table
-(window functions / top-k aren't available on unbounded streams; fuzzy
-mentions fall through to the batch job). `entity_counts_windowed` is the
-stateful path: watermark + event-time windows, late turns beyond the
-watermark drop.
+Two linking surfaces:
+  * `link_stream` — stateless stream-static equi-join: the exact-alias fast
+    path (J5) against a pre-reduced alias->best-entity table; lowest
+    latency, but window functions / top-k aren't available on unbounded
+    streams so fuzzy mentions fall through.
+  * `start_full_link_stream` — foreachBatch: every micro-batch runs the
+    COMPLETE batch linker (cosine candidates, JW rescue, context
+    disambiguation), the exact Spark shape of the reference's minibatch
+    pipe; idempotent per-batch-partition parquet sink.
+`entity_counts_windowed` is the stateful aggregate path: watermark +
+event-time windows, late turns beyond the watermark drop.
 """
 
 from __future__ import annotations
@@ -58,6 +62,63 @@ def link_stream(stream: DataFrame, kb: KnowledgeBase, patterns: list[str]) -> Da
     best = alias_best_entity(kb)
     return mentions.join(F.broadcast(best), mentions.text == best["alias"], "inner").select(
         "conv_id", "turn_idx", "mention_id", "text", "start", "end", "entity_id", "prior"
+    )
+
+
+def start_full_link_stream(
+    stream: DataFrame,
+    model,
+    patterns: list[str],
+    output_path: str,
+    checkpoint_path: str,
+    fuzzy_rescue: bool = True,
+    threshold: float = 0.7,
+    query_name: str = "full_link_stream",
+):
+    """Full-linker streaming surface via foreachBatch: each micro-batch of
+    turns runs the COMPLETE batch linker — extraction, TF-IDF cosine
+    candidates, JW fuzzy rescue, context disambiguation — and appends links
+    to `output_path` parquet. This is the exact Spark shape of the
+    reference's minibatch pipe (remote_ann_linker.py:92-120 links 32-doc
+    batches through the full linker), and it lifts the stateless
+    stream-static-join restriction of `link_stream` (which only covers the
+    exact-alias path, J5): windows, top-k aggregates, and the rescue join
+    are all legal inside foreachBatch because each micro-batch is a plain
+    batch DataFrame.
+
+    Exactly-once: foreachBatch can replay a batch on failure — the sink
+    partitions by an explicit _batch_id so a replayed batch OVERWRITES its
+    own partition (idempotent), the standard foreachBatch dedup recipe.
+    Returns the StreamingQuery (caller stops it)."""
+    from spacy_ann_linker_spark.link.linker import link_mentions, release_memos
+    from spacy_ann_linker_spark.mentions.extract import extract_mentions
+
+    def link_batch(batch_df: DataFrame, batch_id: int) -> None:
+        mentions = extract_mentions(batch_df, patterns)
+        links = link_mentions(
+            mentions,
+            batch_df,
+            model.kb,
+            model.cand,
+            threshold=threshold,
+            fuzzy_rescue=fuzzy_rescue,
+        )
+        try:
+            (
+                links.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(output_path)
+            )
+        finally:
+            release_memos()  # per-batch memo caches must not accumulate
+
+    return (
+        stream.writeStream.foreachBatch(link_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .start()
     )
 
 

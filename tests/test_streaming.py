@@ -54,6 +54,61 @@ def test_link_stream_matches_batch(spark, golden_model, transcript_dir, patterns
     assert g == w
 
 
+def test_full_link_stream_matches_batch_including_fuzzy(
+    spark, golden_model, patterns, tmp_path
+):
+    """VERDICT r2 item 8: the foreachBatch full-linker stream produces the
+    batch linker's exact output — including a FUZZY mention ('machne
+    lerning') that the exact-alias stream path cannot link."""
+    from spacy_ann_linker_spark.link.linker import link_mentions
+    from spacy_ann_linker_spark.mentions.extract import extract_mentions
+    from spacy_ann_linker_spark.streaming.link_stream import (
+        read_transcript_stream,
+        start_full_link_stream,
+    )
+
+    turns = generate_transcripts(spark, 120)
+    fuzzy = spark.createDataFrame(
+        [("fz1", 0, "user", "I study machne lerning and NLP models today", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    all_turns = turns.unionByName(fuzzy)
+    src = str(tmp_path / "turns")
+    all_turns.repartition(3).write.parquet(src)
+
+    pats = patterns + ["machne lerning"]  # upstream NER emits the typo span
+    out_dir, ckpt = str(tmp_path / "links"), str(tmp_path / "ckpt")
+    stream = read_transcript_stream(spark, src, max_files=1)
+    q = start_full_link_stream(
+        stream, golden_model, pats, out_dir, ckpt, fuzzy_rescue=True
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_df = spark.read.parquet(out_dir)
+
+    batch_turns = spark.read.parquet(src)
+    want_df = link_mentions(
+        extract_mentions(batch_turns, pats),
+        batch_turns,
+        golden_model.kb,
+        golden_model.cand,
+        fuzzy_rescue=True,
+    )
+
+    def keyset(df):
+        return {
+            (r["conv_id"], r["turn_idx"], r["start"], r["entity_id"], r["alias"])
+            for r in df.collect()
+        }
+
+    got, want = keyset(got_df), keyset(want_df)
+    assert got == want and len(want) > 0
+    # the fuzzy mention was rescued (exact path would have dropped it)
+    assert any(k[0] == "fz1" and k[3] == "a1" for k in got), sorted(got)[:5]
+
+
 def test_conversation_state_stream(spark, transcript_dir):
     from spacy_ann_linker_spark.streaming.link_stream import conversation_state_stream
 

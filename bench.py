@@ -161,6 +161,32 @@ def run_bench(cpus: int) -> dict:
     f1 = pairwise_f1(links, labels)
     links.unpersist()
 
+    # blocked-path leg (the 100 TB plan): LSH+prefix pair blocking bounds
+    # the similarity join — report throughput AND F1 on the same input so
+    # the scale path carries a headline number, not just the exact path
+    # (skipped in scaling mode, whose metric is the exact-path link)
+    blocked: dict = {}
+    if not os.environ.get("SPARK_GRAFT_LINK_ONLY"):
+        from spacy_ann_linker_spark.link.linker import release_memos
+
+        release_memos()
+        t0 = time.perf_counter()
+        links_b = link_transcripts(
+            model, turns, mentions=mentions, fuzzy_rescue=True, use_blocking=True
+        )
+        links_b.persist()
+        n_links_b = links_b.count()
+        t_blk = time.perf_counter() - t0
+        timings["link_transcripts_blocked"] = round(t_blk, 3)
+        f1_b = pairwise_f1(links_b, labels)
+        links_b.unpersist()
+        release_memos()
+        blocked = {
+            "turns_per_sec_blocked": round(N_TURNS / t_blk, 1),
+            "n_links_blocked": n_links_b,
+            "pairwise_f1_blocked": round(f1_b["f1"], 4),
+        }
+
     # operator queries over the driver sf tables (skipped in scaling mode —
     # the scaling metric is link throughput on the shared transcript input)
     queries = entry_mod.queries()
@@ -193,6 +219,7 @@ def run_bench(cpus: int) -> dict:
         "pairwise_f1": round(f1["f1"], 4),
         "precision": round(f1["precision"], 4),
         "recall": round(f1["recall"], 4),
+        **blocked,
     }
 
 

@@ -170,6 +170,13 @@ def run_bench(cpus: int) -> dict:
         from spacy_ann_linker_spark.link.linker import release_memos
 
         release_memos()
+        # untimed warmup (same steady-state treatment as the exact leg: the
+        # blocked path carries the 100 TB headline number)
+        t0 = time.perf_counter()
+        _noop(link_transcripts(model, turns, mentions=mentions, fuzzy_rescue=True, use_blocking=True))
+        warmup_blk = round(time.perf_counter() - t0, 3)
+        release_memos()
+        cpu0_b = _container_cpu_sec()
         t0 = time.perf_counter()
         links_b = link_transcripts(
             model, turns, mentions=mentions, fuzzy_rescue=True, use_blocking=True
@@ -177,7 +184,9 @@ def run_bench(cpus: int) -> dict:
         links_b.persist()
         n_links_b = links_b.count()
         t_blk = time.perf_counter() - t0
+        cpu1_b = _container_cpu_sec()
         timings["link_transcripts_blocked"] = round(t_blk, 3)
+        timings["link_transcripts_blocked_coldstart"] = warmup_blk
         f1_b = pairwise_f1(links_b, labels)
         links_b.unpersist()
         release_memos()
@@ -185,6 +194,11 @@ def run_bench(cpus: int) -> dict:
             "turns_per_sec_blocked": round(N_TURNS / t_blk, 1),
             "n_links_blocked": n_links_b,
             "pairwise_f1_blocked": round(f1_b["f1"], 4),
+            "link_cpu_sec_blocked": (
+                round(cpu1_b - cpu0_b, 1)
+                if cpu0_b is not None and cpu1_b is not None
+                else None
+            ),
         }
 
     # operator queries over the driver sf tables (skipped in scaling mode —

@@ -11,6 +11,7 @@ of their 3-grams).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -60,9 +61,104 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float
     return j + prefix * p * (1.0 - j)
 
 
+def _pad_codes(joined: str, lens: np.ndarray) -> np.ndarray:
+    """Concatenated batch string -> (B, L) codepoint matrix (0-padded).
+    One C-level encode for the whole batch, no per-char Python; uint8 when
+    every char fits latin-1 (4x less memory traffic in the scan loops)."""
+    lmax = int(lens.max()) if len(lens) else 0
+    try:
+        codes = np.frombuffer(joined.encode("latin-1"), dtype=np.uint8)
+    except UnicodeEncodeError:
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    pad = np.zeros((len(lens), max(lmax, 1)), dtype=codes.dtype)
+    if lmax:
+        pad[np.arange(pad.shape[1])[None, :] < lens[:, None]] = codes
+    return pad
+
+
+def jaro_winkler_batch(
+    a: list[str], b: list[str], p: float = 0.1, max_prefix: int = 4
+) -> np.ndarray:
+    """Batch-vectorized Jaro-Winkler, identical to the scalar reference
+    (property-tested in tests/test_stringsim.py).
+
+    The greedy match scan is sequential in character POSITION but independent
+    across PAIRS, so the loops run over positions (<= max string length, ~30
+    for mention/alias text) with every step a full-batch numpy op — the
+    per-pair interpreted-Python cost of the old loop (the VERDICT r2 watch
+    item on the rescue hot path) becomes O(L^2) batch-wide vector ops."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0)
+    la = np.fromiter(map(len, a), dtype=np.int64, count=n)
+    lb = np.fromiter(map(len, b), dtype=np.int64, count=n)
+    # latin-1 values equal unicode codepoints for U+0000..U+00FF, so a uint8
+    # side compares correctly against a uint32 side via numpy promotion
+    pa = _pad_codes("".join(a), la)
+    pb = _pad_codes("".join(b), lb)
+    l1, l2 = pa.shape[1], pb.shape[1]
+    jcols = np.arange(l2)[None, :]
+    # match window half-width; identical strings are short-circuited at the
+    # end (the window is empty for 1-char strings, like the scalar code)
+    d = np.maximum(la, lb) // 2 - 1
+    m1 = np.zeros_like(pa, dtype=bool)
+    m2 = np.zeros_like(pb, dtype=bool)
+    for i in range(l1):
+        c = pa[:, i]
+        elig = (
+            (pb == c[:, None])
+            & ~m2
+            & (jcols >= (i - d)[:, None])
+            & (jcols <= (i + d)[:, None])
+            & (jcols < lb[:, None])
+            & (i < la)[:, None]
+        )
+        found = elig.any(axis=1)
+        jstar = elig.argmax(axis=1)  # first eligible j (greedy, same as scalar)
+        m2[found, jstar[found]] = True
+        m1[found, i] = True
+    matches = m1.sum(axis=1)
+    # compact matched chars of each side in original order, compare for
+    # transpositions (stable sort puts matched positions first, in order)
+    order1 = np.argsort(~m1, axis=1, kind="stable")
+    order2 = np.argsort(~m2, axis=1, kind="stable")
+    c1 = np.take_along_axis(pa, order1, axis=1)
+    c2 = np.take_along_axis(pb, order2, axis=1)
+    w = min(l1, l2)
+    pos = np.arange(w)[None, :]
+    trans = ((c1[:, :w] != c2[:, :w]) & (pos < matches[:, None])).sum(axis=1) // 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = matches.astype(np.float64)
+        jaro_sim = (m / la + m / lb + (m - trans) / m) / 3.0
+    jaro_sim = np.where(matches == 0, 0.0, jaro_sim)
+    # common prefix (up to max_prefix chars of the shorter string)
+    wpre = min(max_prefix, l1, l2)
+    if wpre:
+        pre_pos = np.arange(wpre)[None, :]
+        eq = (
+            (pa[:, :wpre] == pb[:, :wpre])
+            & (pre_pos < la[:, None])
+            & (pre_pos < lb[:, None])
+        )
+        prefix = np.cumprod(eq, axis=1).sum(axis=1)
+    else:
+        prefix = np.zeros(n, dtype=np.int64)
+    out = jaro_sim + prefix * p * (1.0 - jaro_sim)
+    # scalar short-circuit parity: identical strings score 1.0 even when the
+    # match window is empty (1-char strings). la == lb implies la <= the
+    # shared width, and padding is 0 on both sides, so a prefix compare of
+    # the shared columns decides equality.
+    shared = min(l1, l2)
+    identical = (la == lb) & (pa[:, :shared] == pb[:, :shared]).all(axis=1)
+    return np.where(identical, 1.0, out)
+
+
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched JW over two string columns (case-folded)."""
+    """Arrow-batched, numpy-vectorized JW over two string columns
+    (case-folded): no per-pair Python in the rescue hot path."""
     return pd.Series(
-        [jaro_winkler((x or "").lower(), (y or "").lower()) for x, y in zip(a, b)]
+        jaro_winkler_batch(
+            [(x or "").lower() for x in a], [(y or "").lower() for y in b]
+        )
     )

@@ -38,10 +38,10 @@ from spacy_ann_linker_spark.link.embedding import (
 
 DEFAULT_THRESHOLD = 0.7  # ann_linker.py:49
 
-# persisted memo tables (mention_alias_map and the pre-rescue candidate set)
-# registered here so long-running callers (the serve loop, streaming
-# foreachBatch) can release executor storage after each request instead of
-# waiting for driver GC + ContextCleaner
+# memo tables (mention_alias_map and the pre-rescue candidate set) registered
+# here so long-running callers (the serve loop, streaming foreachBatch) can
+# drop references after each request instead of waiting for driver GC +
+# ContextCleaner
 _PERSISTED_MEMOS: list = []
 
 
@@ -50,10 +50,43 @@ def _register_memo(df: DataFrame) -> DataFrame:
     return df
 
 
+def _materialize_memo(df: DataFrame, truncate: bool) -> DataFrame:
+    """Materialize a memo table eagerly; optionally cut its lineage first.
+
+    persist()+count() (truncate=False) is the default: columnar cache +
+    measured-size stats, so Catalyst keeps broadcasting the memo into the
+    downstream joins. That is NOT enough when the plan behind the memo is
+    pathologically deep — the blocked path's candidate union (LSH pair join x
+    sorted-neighborhood x rescue, each wrapping its own finished AQE subtree)
+    serializes into EVERY downstream task binary: measured on the bench
+    input, ~0.5 s/task of task-binary deserialization and >100 s/stage of GC,
+    a 20-70 s link with huge run-to-run variance. truncate=True inserts an
+    eager localCheckpoint BEFORE the persist: downstream tasks then carry
+    only a checkpoint-scan lineage (stable ~12 s same input), and the
+    InMemoryRelation layered on top restores stats + columnar scans (a bare
+    LogicalRDD reports unknown size — measured +45 CPU-s from lost broadcast
+    decisions). The exact path keeps truncate=False: its plan is shallow, and
+    the extra checkpoint materialization pass measurably costs more than it
+    saves (~9 s -> ~12-16 s on the bench link).
+
+    Cluster note: localCheckpoint blocks are unreplicated — an executor loss
+    mid-job fails the query instead of recomputing. For a 1000-executor run
+    either accept the retry (memos are distinct-mention-sized and cheap to
+    rebuild) or swap for `df.checkpoint()` with a reliable checkpoint dir /
+    an explicit write-to-table (same swap point as plans/checkpoint.py
+    documents for Iceberg)."""
+    if truncate:
+        df = df.localCheckpoint(eager=True)
+    out = df.persist()
+    out.count()
+    return _register_memo(out)
+
+
 def release_memos() -> int:
-    """Unpersist every memo table registered since the last release.
-    Safe to call any time AFTER the linking output has been materialized
-    (collect/write); returns the number of tables released."""
+    """Release every memo table registered since the last release: unpersist
+    cached ones and drop the reference so ContextCleaner can free
+    localCheckpoint blocks. Safe to call any time AFTER the linking output
+    has been materialized (collect/write); returns the number released."""
     n = 0
     while _PERSISTED_MEMOS:
         df = _PERSISTED_MEMOS.pop()
@@ -110,12 +143,12 @@ def best_aliases(
     ).filter(F.col("similarity") > F.lit(threshold))
     if not fuzzy_rescue:
         return best
-    # the pre-rescue result feeds both the anti-join and the union — persist
-    # and materialize EAGERLY: both consumers run concurrently in the final
-    # job, and a lazy persist lets each recompute the whole candidate-join
-    # subtree (measured ~3x wall on the bench input)
-    best = _register_memo(best.persist())
-    best.count()
+    # the pre-rescue result feeds both the anti-join and the union —
+    # materialize eagerly (both consumers run concurrently in the final job;
+    # lazy evaluation recomputed the whole candidate-join subtree, measured
+    # ~3x wall); lineage truncation only where the plan is deep enough to
+    # bloat task binaries (see _materialize_memo)
+    best = _materialize_memo(best, truncate=use_blocking)
 
     from spacy_ann_linker_spark.functions.stringsim import jaro_winkler_udf
 
@@ -220,23 +253,25 @@ def link_mentions(
     unannotated, ann_linker.py:90-91)."""
     texts = mentions.select("text").distinct()
     # mention_alias_map is tiny (distinct mention strings) but its lineage is
-    # the whole candidate-generation DAG — persist + materialize eagerly so
-    # the two downstream consumers (candidate expansion, turns semi-join)
-    # read the cache instead of racing to recompute the similarity join
-    # (J8 memo semantics)
-    mam = best_aliases(
-        model,
-        texts,
-        k=k,
-        threshold=threshold,
-        exact_fast_path=exact_fast_path,
-        fuzzy_rescue=fuzzy_rescue,
-        use_blocking=use_blocking,
-        max_gram_df=max_gram_df,
-        broadcast_rescue_aliases=broadcast_rescue_aliases,
-    ).persist()
-    _register_memo(mam)
-    mam.count()
+    # the whole candidate-generation DAG — materialize eagerly (and, on the
+    # blocked path, truncate: see _materialize_memo) so the downstream
+    # consumers (candidate expansion, turns semi-join) scan the materialized
+    # blocks instead of recomputing the similarity join or dragging its plan
+    # into every task binary (J8 memo semantics)
+    mam = _materialize_memo(
+        best_aliases(
+            model,
+            texts,
+            k=k,
+            threshold=threshold,
+            exact_fast_path=exact_fast_path,
+            fuzzy_rescue=fuzzy_rescue,
+            use_blocking=use_blocking,
+            max_gram_df=max_gram_df,
+            broadcast_rescue_aliases=broadcast_rescue_aliases,
+        ),
+        truncate=use_blocking,
+    )
 
     # J6 alias -> entity expansion with uniform priors
     cands = mam.join(kb.alias_map, "alias").select(

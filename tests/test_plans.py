@@ -85,3 +85,38 @@ def test_gazetteer_plan_broadcasts_aliases_no_cartesian(spark):
     # plans print each node twice — tree + details); the greedy
     # span-selection fold stays JVM-side
     assert 1 <= plan.count("ArrowEvalPython") <= 2
+
+
+def test_memo_lineage_truncation(spark):
+    """The blocked-path memo tables must cut lineage (eager localCheckpoint
+    under the cache) so the deep LSH/rescue plan never serializes into every
+    downstream task binary — measured 20-70 s links with >100 s/stage GC
+    without it. The exact path must NOT pay the extra checkpoint pass, and
+    both variants need an InMemoryRelation on top (a bare LogicalRDD loses
+    size stats and with them the downstream broadcast decisions)."""
+    from pyspark.sql import functions as F
+
+    from spacy_ann_linker_spark.link.linker import _materialize_memo, release_memos
+
+    release_memos()  # drain memos registered by earlier tests in this session
+    df = spark.range(64).select(F.col("id"), (F.col("id") * 2).alias("x"))
+    def downstream_plan(memo) -> str:
+        # cache substitution happens when a NEW plan references the memo —
+        # inspect a consumer, the way link_mentions' joins actually see it
+        return memo.filter(F.col("id") >= 0)._jdf.queryExecution().optimizedPlan().toString()
+
+    truncated = _materialize_memo(df, truncate=True)
+    plan_t = downstream_plan(truncated)
+    # the cached child is a checkpoint scan (LogicalRDD / Scan ExistingRDD),
+    # not the original projection lineage
+    assert "ExistingRDD" in plan_t or "LogicalRDD" in plan_t, plan_t
+    assert "InMemoryRelation" in plan_t, plan_t
+
+    plain = _materialize_memo(df, truncate=False)
+    plan_p = downstream_plan(plain)
+    assert "ExistingRDD" not in plan_p and "LogicalRDD" not in plan_p, plan_p
+    assert "InMemoryRelation" in plan_p, plan_p
+
+    # identical contents either way
+    assert sorted(truncated.collect()) == sorted(plain.collect())
+    assert release_memos() == 2

@@ -30,3 +30,41 @@ def test_fuzzy_rescue_recovers_typos(spark):
     assert {r["text"] for r in no_rescue} == {"Machine learning"}
     got = {r["text"]: r["alias"] for r in rescued}
     assert got == {"Reserh": "Research", "Machine learning": "Machine learning"}
+
+
+def test_batch_matches_scalar_property():
+    """The numpy-vectorized batch JW must agree with the scalar reference on
+    every pair hypothesis can construct (unicode, empties, repeats)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from spacy_ann_linker_spark.functions.stringsim import jaro_winkler_batch
+
+    alphabet = st.characters(codec="utf-8", exclude_categories=("Cs",))
+    strs = st.text(alphabet=alphabet, max_size=24)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(strs, strs), min_size=1, max_size=40))
+    def check(pairs):
+        a = [p[0] for p in pairs]
+        b = [p[1] for p in pairs]
+        got = jaro_winkler_batch(a, b)
+        want = np.array([jaro_winkler(x, y) for x, y in pairs])
+        assert np.allclose(got, want, atol=1e-12), list(zip(pairs, got, want))
+
+    check()
+
+
+def test_batch_textbook_and_edges():
+    import numpy as np
+
+    from spacy_ann_linker_spark.functions.stringsim import jaro_winkler_batch
+
+    a = ["martha", "dixon", "", "abc", "a", "a", "research"]
+    b = ["marhta", "dicksonx", "abc", "abc", "a", "b", "reserch"]
+    got = jaro_winkler_batch(a, b)
+    want = np.array([jaro_winkler(x, y) for x, y in zip(a, b)])
+    assert np.allclose(got, want)
+    assert got[3] == 1.0 and got[4] == 1.0 and got[5] == 0.0

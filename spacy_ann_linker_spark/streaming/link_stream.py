@@ -73,6 +73,7 @@ def start_full_link_stream(
     checkpoint_path: str,
     fuzzy_rescue: bool = True,
     threshold: float = 0.7,
+    use_blocking: bool = False,
     query_name: str = "full_link_stream",
 ):
     """Full-linker streaming surface via foreachBatch: each micro-batch of
@@ -102,6 +103,7 @@ def start_full_link_stream(
             model.cand,
             threshold=threshold,
             fuzzy_rescue=fuzzy_rescue,
+            use_blocking=use_blocking,
         )
         try:
             (

@@ -62,10 +62,18 @@ def lsh_pairs(
     aliases: DataFrame,
     num_hashes: int = 24,
     bands: int = 12,
+    alias_keys: DataFrame | None = None,
 ) -> DataFrame:
-    """(text, alias) candidate pairs whose 3-gram minhash bands collide."""
+    """(text, alias) candidate pairs whose 3-gram minhash bands collide.
+
+    alias_keys: precomputed `minhash_band_keys(aliases, "alias", ...)` — the
+    alias side is static per model, so callers in a per-batch loop pass the
+    cached table (CandidateModel.alias_band_keys) instead of re-running the
+    signature groupBys every call."""
     t = minhash_band_keys(texts, "text", num_hashes, bands)
-    a = minhash_band_keys(aliases, "alias", num_hashes, bands)
+    a = alias_keys if alias_keys is not None else minhash_band_keys(
+        aliases, "alias", num_hashes, bands
+    )
     return t.join(a, ["band", "bucket"]).select("text", "alias").distinct()
 
 

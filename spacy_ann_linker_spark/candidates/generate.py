@@ -27,7 +27,7 @@ Reference behaviors preserved:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -51,6 +51,22 @@ class CandidateModel:
     alias_vectors: DataFrame  # (alias, idx, weight) L2-normalized long form
     short_aliases: DataFrame  # (alias)
     aliases: DataFrame  # (alias) distinct fit corpus
+    # per-(num_hashes, bands) cache of the STATIC alias-side MinHash band
+    # keys (candidates/blocking.py): the alias table does not change between
+    # link calls, so the signature groupBys run once per model, not once per
+    # batch — the serve loop and streaming foreachBatch hit this every
+    # micro-batch. Persisted DataFrames, released with the model.
+    _alias_lsh_cache: dict = field(default_factory=dict, repr=False, compare=False)
+
+    def alias_band_keys(self, num_hashes: int, bands: int) -> DataFrame:
+        from spacy_ann_linker_spark.candidates.blocking import minhash_band_keys
+
+        key = (num_hashes, bands)
+        if key not in self._alias_lsh_cache:
+            self._alias_lsh_cache[key] = minhash_band_keys(
+                self.aliases, "alias", num_hashes, bands
+            ).persist()
+        return self._alias_lsh_cache[key]
 
     def save(self, path: str) -> None:
         self.tfidf.save(f"{path}/vocab")
@@ -125,7 +141,13 @@ def _sims_blocked(
     )
 
     pairs = (
-        lsh_pairs(rest, model.aliases, num_hashes, bands)
+        lsh_pairs(
+            rest,
+            model.aliases,
+            num_hashes,
+            bands,
+            alias_keys=model.alias_band_keys(num_hashes, bands),
+        )
         .unionByName(sorted_neighborhood_pairs(rest, model.aliases, prefix_len))
         .distinct()
     )

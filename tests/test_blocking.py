@@ -150,3 +150,19 @@ def test_max_gram_df_bounds_join_and_keeps_exact_hits(spark):
     ).collect()
     by_text = {r["text"]: (r["alias"], r["similarity"]) for r in best}
     assert by_text["Research"] == ("Research", 1.0)
+
+
+def test_alias_band_keys_cached_per_params(spark, prod_model):
+    """The alias-side LSH band keys are static per model: repeated calls
+    (the serve loop / every streaming micro-batch) must reuse one persisted
+    table per (num_hashes, bands), not re-run the signature groupBys."""
+    a = prod_model.alias_band_keys(24, 12)
+    b = prod_model.alias_band_keys(24, 12)
+    assert a is b
+    c = prod_model.alias_band_keys(16, 8)
+    assert c is not a
+    # and the cached table agrees with a fresh computation
+    from spacy_ann_linker_spark.candidates.blocking import minhash_band_keys
+
+    fresh = minhash_band_keys(prod_model.aliases, "alias", 24, 12)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, fresh.collect()))

@@ -110,6 +110,7 @@ def best_aliases(
     max_gram_df: int | None = None,
     broadcast_rescue_aliases: bool = True,
     rescue_salt_buckets: int = 16,
+    truncate_memos: bool | None = None,
 ) -> DataFrame:
     """(text, alias, similarity) — best surviving alias per distinct mention
     string (T2: `alias_candidates[0]` after the strict-> threshold filter).
@@ -146,9 +147,13 @@ def best_aliases(
     # the pre-rescue result feeds both the anti-join and the union —
     # materialize eagerly (both consumers run concurrently in the final job;
     # lazy evaluation recomputed the whole candidate-join subtree, measured
-    # ~3x wall); lineage truncation only where the plan is deep enough to
-    # bloat task binaries (see _materialize_memo)
-    best = _materialize_memo(best, truncate=use_blocking)
+    # ~3x wall); lineage truncation where the plan is deep enough to bloat
+    # task binaries — default: the blocked path (see _materialize_memo; at
+    # >= 10^6-turn inputs truncation stabilizes the exact path too, pass
+    # truncate_memos=True)
+    if truncate_memos is None:
+        truncate_memos = use_blocking
+    best = _materialize_memo(best, truncate=truncate_memos)
 
     from spacy_ann_linker_spark.functions.stringsim import jaro_winkler_udf
 
@@ -240,9 +245,15 @@ def link_mentions(
     use_blocking: bool = False,
     max_gram_df: int | None = None,
     broadcast_rescue_aliases: bool = True,
+    truncate_memos: bool | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """mentions (MENTION_SCHEMA) + turns (TRANSCRIPT_SCHEMA) -> links.
+
+    truncate_memos: None (default) = truncate memo lineage on the blocked
+    path only; True forces truncation (recommended at >= 10^6-turn inputs,
+    where the untruncated exact-path memo plan intermittently pays the same
+    task-binary/GC tax — see _materialize_memo); False never truncates.
 
     no_description_threshold is accepted for config parity and intentionally
     unused: in the reference it feeds a list comprehension whose result is
@@ -269,8 +280,9 @@ def link_mentions(
             use_blocking=use_blocking,
             max_gram_df=max_gram_df,
             broadcast_rescue_aliases=broadcast_rescue_aliases,
+            truncate_memos=truncate_memos,
         ),
-        truncate=use_blocking,
+        truncate=use_blocking if truncate_memos is None else truncate_memos,
     )
 
     # J6 alias -> entity expansion with uniform priors

@@ -61,6 +61,7 @@ def link_transcripts(
     fuzzy_rescue: bool = False,
     use_blocking: bool = False,
     max_gram_df: int | None = None,
+    truncate_memos: bool | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Link every mention in every turn to its KB entity.
@@ -84,6 +85,7 @@ def link_transcripts(
         fuzzy_rescue=fuzzy_rescue,
         use_blocking=use_blocking,
         max_gram_df=max_gram_df,
+        truncate_memos=truncate_memos,
         dim=dim,
     )
 

@@ -120,3 +120,26 @@ def test_memo_lineage_truncation(spark):
     # identical contents either way
     assert sorted(truncated.collect()) == sorted(plain.collect())
     assert release_memos() == 2
+
+
+def test_blocked_link_plan_shape(spark, golden_model):
+    """The blocked (LSH) link plan must keep the scale properties: no
+    cartesian product, broadcast dimension joins, and a truncated memo
+    (checkpoint scan) feeding the downstream joins instead of the deep
+    LSH/rescue union lineage."""
+    from spacy_ann_linker_spark.data.transcripts import generate_transcripts
+    from spacy_ann_linker_spark.link.linker import release_memos
+    from spacy_ann_linker_spark.mentions.extract import extract_mentions
+    from spacy_ann_linker_spark.pipeline import link_transcripts
+
+    turns = generate_transcripts(spark, 32)
+    mentions = extract_mentions(turns, ["Research", "ML"])
+    links = link_transcripts(
+        golden_model, turns, mentions=mentions, fuzzy_rescue=True, use_blocking=True
+    )
+    plan = _plan(links)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the memo feeding the final joins is the truncated checkpoint scan
+    assert "ExistingRDD" in plan or "InMemoryTableScan" in plan, plan[:2000]
+    release_memos()

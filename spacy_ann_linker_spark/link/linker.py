@@ -221,13 +221,29 @@ def kb_get_candidates(
     )
 
 
-def context_vectors(turns: DataFrame, dim: int = 64) -> DataFrame:
+def context_vectors(
+    turns: DataFrame, dim: int = 64, vectors_table: DataFrame | None = None
+) -> DataFrame:
     """V4: per-turn context embedding (the reference's doc.vector — one
     transcript turn plays the role of one spaCy Doc).
-    -> (conv_id, turn_idx, ctx_vector, ctx_norm)"""
-    out = turns.select(
-        "conv_id", "turn_idx", mean_pool_udf(dim)(F.col("text")).alias("ctx_vector")
-    )
+    -> (conv_id, turn_idx, ctx_vector, ctx_norm)
+
+    vectors_table: optional `(token, vector)` DataFrame — routes the stage
+    through the pure-JVM table-backed mean-pool (embedding.py
+    `mean_pool_from_table`; spaCy doc.vector semantics, OOV = zero vector).
+    Default None keeps the fixture hash-vector pandas UDF (open
+    vocabulary, reference-golden parity)."""
+    if vectors_table is not None:
+        from spacy_ann_linker_spark.link.embedding import mean_pool_from_table
+
+        out = mean_pool_from_table(
+            turns, ["conv_id", "turn_idx"], "text", vectors_table, dim=dim,
+            out_col="ctx_vector",
+        )
+    else:
+        out = turns.select(
+            "conv_id", "turn_idx", mean_pool_udf(dim)(F.col("text")).alias("ctx_vector")
+        )
     return with_vector_norm(out, "ctx_vector", "ctx_norm")
 
 
@@ -246,9 +262,15 @@ def link_mentions(
     max_gram_df: int | None = None,
     broadcast_rescue_aliases: bool = True,
     truncate_memos: bool | None = None,
+    word_vectors_table: DataFrame | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """mentions (MENTION_SCHEMA) + turns (TRANSCRIPT_SCHEMA) -> links.
+
+    word_vectors_table: optional `(token, vector)` table — context embedding
+    runs as the pure-JVM table-backed mean-pool (see context_vectors). With
+    gold mention spans supplied and fuzzy_rescue off, the whole link plan is
+    then Python-free.
 
     truncate_memos: None (default) = truncate memo lineage on the blocked
     path only; True forces truncation (recommended at >= 10^6-turn inputs,
@@ -306,7 +328,7 @@ def link_mentions(
     turns_needed = turns.join(
         matched.select("conv_id", "turn_idx").distinct(), ["conv_id", "turn_idx"], "left_semi"
     )
-    ctx = context_vectors(turns_needed, dim=dim)
+    ctx = context_vectors(turns_needed, dim=dim, vectors_table=word_vectors_table)
     evecs = kb.entities.select(
         F.col("id").alias("entity_id"), F.col("vector").alias("ent_vector"), "vnorm"
     )

@@ -62,6 +62,7 @@ def link_transcripts(
     use_blocking: bool = False,
     max_gram_df: int | None = None,
     truncate_memos: bool | None = None,
+    word_vectors_table: DataFrame | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Link every mention in every turn to its KB entity.
@@ -86,6 +87,7 @@ def link_transcripts(
         use_blocking=use_blocking,
         max_gram_df=max_gram_df,
         truncate_memos=truncate_memos,
+        word_vectors_table=word_vectors_table,
         dim=dim,
     )
 

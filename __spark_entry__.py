@@ -192,6 +192,48 @@ def _q_a4_mean_pool_disambiguation(spark, sf_dir):
     )
 
 
+def _q_a4b_mean_pool_table(spark, sf_dir):
+    """V4 (table-backed): the pure-JVM mean-pool
+    (link/embedding.py:mean_pool_from_table — JVM tokenize -> broadcast join
+    -> partial-aggregating sums, zero Python) over documents.text, with an
+    md5-derived deterministic vector table so DuckDB recomputes the vectors,
+    the tokenization, and the pooling exactly. Both engines cast the mean to
+    float32 before rounding so the comparison is on identical values."""
+    from spacy_ann_linker_spark.link.embedding import _TOKEN_PATTERN, mean_pool_from_table
+
+    dims = 4
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("token")
+    ).distinct()
+    vectors = toks.select(
+        "token",
+        F.array(
+            *[
+                (
+                    F.conv(F.substring(F.md5("token"), 1 + 4 * i, 4), 16, 10).cast("double")
+                    / F.lit(65535.0)
+                ).cast("float")
+                for i in range(dims)
+            ]
+        ).alias("vector"),
+    )
+    pooled = mean_pool_from_table(docs, ["doc_id"], "text", vectors, dim=dims)
+    return pooled.select(
+        "doc_id",
+        *[
+            F.round(F.col("vector")[i].cast("double"), 6).alias(f"v{i}")
+            for i in range(dims)
+        ],
+    )
+
+
 def _q_j5_exact_lookup(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(F.col("c_custkey") <= 1000)
     nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -650,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_cosine_topk": _q_t1_cosine_topk,
         "t3_argmax_neighbor": _q_t3_argmax_neighbor,
         "a4_mean_pool_disambiguation": _q_a4_mean_pool_disambiguation,
+        "a4b_mean_pool_table": _q_a4b_mean_pool_table,
         "j5_exact_lookup": _q_j5_exact_lookup,
         "f6_semi_join": _q_f6_semi_join,
         "f7_first_wins_dedup": _q_f7_first_wins,
@@ -920,6 +963,33 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label ASC) AS rn
           FROM scored
         ) WHERE rn = 1
+        """,
+        "a4b_mean_pool_table": """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+(''[a-z]+)?')) AS token
+          FROM documents WHERE doc_id < 200
+        ), vec AS (
+          -- ::FLOAT mirrors the engine's array<float> vector table exactly;
+          -- both engines then sum the same float32-representable addends in
+          -- float64, so the float32-cast mean agrees bit-for-bit
+          SELECT token,
+                 (('0x' || substr(md5(token), 1, 4))::INT / 65535.0)::FLOAT AS w0,
+                 (('0x' || substr(md5(token), 5, 4))::INT / 65535.0)::FLOAT AS w1,
+                 (('0x' || substr(md5(token), 9, 4))::INT / 65535.0)::FLOAT AS w2,
+                 (('0x' || substr(md5(token), 13, 4))::INT / 65535.0)::FLOAT AS w3
+          FROM (SELECT DISTINCT token FROM toks)
+        ), pooled AS (
+          SELECT t.doc_id, count(*) AS n,
+                 sum(v.w0) AS s0, sum(v.w1) AS s1, sum(v.w2) AS s2, sum(v.w3) AS s3
+          FROM toks t JOIN vec v USING (token) GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               round(coalesce((p.s0 / p.n)::FLOAT, 0.0::FLOAT)::DOUBLE, 6) AS v0,
+               round(coalesce((p.s1 / p.n)::FLOAT, 0.0::FLOAT)::DOUBLE, 6) AS v1,
+               round(coalesce((p.s2 / p.n)::FLOAT, 0.0::FLOAT)::DOUBLE, 6) AS v2,
+               round(coalesce((p.s3 / p.n)::FLOAT, 0.0::FLOAT)::DOUBLE, 6) AS v3
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+        LEFT JOIN pooled p USING (doc_id)
         """,
         "j5_exact_lookup": """
         SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey

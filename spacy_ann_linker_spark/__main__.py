@@ -55,6 +55,7 @@ def cmd_link(args) -> int:
         fuzzy_rescue=not args.no_rescue,
         use_blocking=args.blocking,
         max_gram_df=args.max_gram_df,
+        truncate_memos=True if args.truncate_memos else None,
     )
     links.write.mode("overwrite").parquet(args.output)
     print(f"link: {spark.read.parquet(args.output).count()} links -> {args.output}")
@@ -126,6 +127,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="LSH+prefix blocked candidate path (bounded at any scale)")
     lk.add_argument("--max-gram-df", type=int, default=None, dest="max_gram_df",
                     help="prune ngrams with df above this from the exact cosine join")
+    lk.add_argument("--truncate-memos", action="store_true", dest="truncate_memos",
+                    help="force memo lineage truncation (recommended >= 1M turns; "
+                         "the blocked path truncates by default)")
     lk.add_argument("--cores", type=int, default=4)
     lk.set_defaults(fn=cmd_link)
 

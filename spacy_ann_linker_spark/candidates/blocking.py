@@ -104,14 +104,17 @@ def generate_candidates_blocked(
     Same output contract as generate_candidates; recall < 1 by construction
     (tunable), verified >= the threshold-relevant region in tests."""
     from spacy_ann_linker_spark.candidates.generate import _sims_blocked
+    from spacy_ann_linker_spark.link.linker import _register_memo
 
-    texts = texts.select("text").distinct().persist()
+    texts = _register_memo(texts.select("text").distinct().persist())
 
     short_df = model.short_aliases
     short = texts.join(short_df, texts.text == short_df["alias"], "inner").select(
         "text", "alias", F.lit(1.0).alias("similarity"), F.lit(1).alias("rank")
     )
-    rest = texts.join(short_df, texts.text == short_df["alias"], "left_anti").persist()
+    rest = _register_memo(
+        texts.join(short_df, texts.text == short_df["alias"], "left_anti").persist()
+    )
 
     sims = _sims_blocked(model, rest, num_hashes, bands, prefix_len)
     w = Window.partitionBy("text").orderBy(F.desc("similarity"), F.asc("alias"))

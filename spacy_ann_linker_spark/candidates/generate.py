@@ -181,6 +181,12 @@ def _candidate_branches(
     # is distinct-mention-sized, so the extra count() action is noise.
     texts = texts.select("text").distinct().persist()
     texts.count()
+    # register for release_memos: long-running callers (serve loop,
+    # streaming foreachBatch) would otherwise accumulate one cached
+    # distinct-mention table per link call until driver GC
+    from spacy_ann_linker_spark.link.linker import _register_memo
+
+    _register_memo(texts)
 
     # J4 short-alias bypass (exact, case-sensitive, total)
     short_df = model.short_aliases

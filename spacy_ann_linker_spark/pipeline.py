@@ -104,6 +104,7 @@ def run_checkpointed_linkage(
     k: int = 5,
     min_df: int = 1,
     fuzzy_rescue: bool = True,
+    use_blocking: bool = False,
     dim: int = 64,
 ) -> DataFrame:
     """Full linkage job with per-stage checkpoint/lineage/metrics (north_rule
@@ -127,7 +128,8 @@ def run_checkpointed_linkage(
 
     cm = CheckpointManager(spark, ckpt_root)
     cfg = {"threshold": threshold, "k": k, "min_df": min_df, "dim": dim,
-           "fuzzy_rescue": fuzzy_rescue, "snapshot": input_snapshot}
+           "fuzzy_rescue": fuzzy_rescue, "use_blocking": use_blocking,
+           "snapshot": input_snapshot}
     # KB inputs are dimension-sized: fingerprint their CONTENT so a changed
     # entity/alias table invalidates kb stages even at an unchanged path
     kb_snap = {"entities": df_snapshot(entities_df), "aliases": df_snapshot(aliases_df)}
@@ -163,7 +165,7 @@ def run_checkpointed_linkage(
         {"up": [fp_avecs, fp_ents], "cfg": cfg},
         lambda: link_transcripts(
             model, turns, mentions=mentions, k=k, threshold=threshold,
-            fuzzy_rescue=fuzzy_rescue, dim=dim,
+            fuzzy_rescue=fuzzy_rescue, use_blocking=use_blocking, dim=dim,
         ),
     )
     clusters = cm.stage(

@@ -9,6 +9,8 @@ shrinks by ~C/nprobe. All dot products are JVM-side zip_with/aggregate.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -157,6 +159,85 @@ def embedding_lsh_neardup_pairs(
     )
 
 
+@dataclass
+class IvfIndex:
+    """Persistable IVF index: the create-index/query split the reference
+    applies to its alias ANN index (candidate_generator.py:284-346 serializes
+    the fitted index; queries load it), applied to the embedding search path.
+    Two tables — tiny centroids + per-item assignments with precomputed
+    norms — so a 10^10-item corpus is indexed ONCE and every query batch
+    pays only the probe join."""
+
+    centroids: DataFrame  # (centroid_id, <vec_col>)
+    assigned: DataFrame  # (item_id, centroid_id, item_v, item_n)
+    vec_col: str = "embedding"
+
+    def save(self, path: str) -> None:
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        self.assigned.write.mode("overwrite").parquet(f"{path}/assigned")
+
+    @staticmethod
+    def load(spark, path: str, vec_col: str = "embedding") -> "IvfIndex":
+        return IvfIndex(
+            centroids=spark.read.parquet(f"{path}/centroids"),
+            assigned=spark.read.parquet(f"{path}/assigned"),
+            vec_col=vec_col,
+        )
+
+
+def build_ivf_index(
+    items: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    cents = seeded_centroids(items, n_centroids, id_col, vec_col)
+    return IvfIndex(
+        centroids=cents,
+        assigned=ivf_assign(items, cents, id_col, vec_col),
+        vec_col=vec_col,
+    )
+
+
+def ivf_topk_indexed(
+    index: IvfIndex,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a prebuilt IvfIndex: probe the nprobe nearest centroid buckets
+    per query, exact cosine within. nprobe == n_centroids is exact."""
+    vec_col = index.vec_col
+    q_assign = (
+        _with_norm(queries, id_col, vec_col, "q")
+        .crossJoin(F.broadcast(_with_norm(index.centroids, "centroid_id", vec_col, "c")))
+        .withColumn(
+            "cosine",
+            dot_product(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n") + F.lit(1e-12)),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    probes = (
+        q_assign.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_v", "q_n", F.col("c_id").alias("centroid_id"))
+    )
+    scored = probes.join(index.assigned, "centroid_id").filter(
+        F.col("item_id") != F.col("q_id")
+    )
+    scored = scored.withColumn(
+        "cosine",
+        dot_product(F.col("q_v"), F.col("item_v")) / (F.col("q_n") * F.col("item_n") + F.lit(1e-12)),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), "item_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -167,7 +248,8 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe nearest centroid buckets per
-    query, exact cosine within. nprobe == n_centroids degenerates to exact."""
+    query, exact cosine within. nprobe == n_centroids degenerates to exact.
+    One-shot convenience over build_ivf_index + ivf_topk_indexed."""
     cents = seeded_centroids(items, n_centroids, id_col, vec_col)
     assigned = ivf_assign(items, cents, id_col, vec_col)
     q_assign = (

@@ -188,3 +188,31 @@ def test_kb_get_candidates_parity(spark, golden_model):
     assert by_text["research"]["entity_id"] == "a15"
     assert by_text["researched"]["alias"] == "Research"
     assert by_text["researched"]["entity_id"] == "a15"
+
+
+def test_ivf_index_save_load_roundtrip(tmp_path, spark):
+    """The create-index/query split (reference candidate_generator.py:284-346
+    serializes its fitted index) applied to IVF: build once, save, load in a
+    fresh object, query — identical results to the one-shot path."""
+    from spacy_ann_linker_spark.extras.similarity_search import (
+        build_ivf_index,
+        IvfIndex,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+
+    idx = build_ivf_index(emb, n_centroids=8)
+    idx.save(str(tmp_path / "ivf"))
+    loaded = IvfIndex.load(spark, str(tmp_path / "ivf"))
+
+    def key(rows):
+        return {(r["query_id"], r["rank"]): r["item_id"] for r in rows}
+
+    direct = key(ivf_topk(emb, q, n_centroids=8, nprobe=4, k=3).collect())
+    via_index = key(ivf_topk_indexed(loaded, q, nprobe=4, k=3).collect())
+    assert direct == via_index and len(direct) == 15

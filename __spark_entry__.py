@@ -234,6 +234,34 @@ def _q_a4b_mean_pool_table(spark, sf_dir):
     )
 
 
+def _q_split_train_val_test(spark, sf_dir):
+    """Deterministic hash split (extras/sampling.py): reproducible
+    train/val/test assignment as a pure function of the row key — stable
+    across runs, partitionings, and cluster sizes; md5 buckets so DuckDB
+    recomputes the assignment exactly."""
+    from spacy_ann_linker_spark.extras.sampling import deterministic_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return deterministic_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def _q_pack_doc_sequences(spark, sf_dir):
+    """Greedy sequence packing (extras/sampling.py): concatenate documents
+    into byte-budget bins per shard — the context-window packing step of an
+    LLM training pipeline. Sequential-per-shard semantics; DuckDB oracle is
+    a recursive CTE stepping the same recurrence."""
+    from spacy_ann_linker_spark.extras.sampling import pack_sequences
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .withColumn("shard", F.pmod("doc_id", F.lit(8)))
+    )
+    return pack_sequences(docs, "shard", "doc_id", "n_chars", budget=4000).select(
+        "shard", "doc_id", "pack_id"
+    )
+
+
 def _q_j5_exact_lookup(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(F.col("c_custkey") <= 1000)
     nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -693,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_argmax_neighbor": _q_t3_argmax_neighbor,
         "a4_mean_pool_disambiguation": _q_a4_mean_pool_disambiguation,
         "a4b_mean_pool_table": _q_a4b_mean_pool_table,
+        "split_train_val_test": _q_split_train_val_test,
+        "pack_doc_sequences": _q_pack_doc_sequences,
         "j5_exact_lookup": _q_j5_exact_lookup,
         "f6_semi_join": _q_f6_semi_join,
         "f7_first_wins_dedup": _q_f7_first_wins,
@@ -990,6 +1020,35 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce((p.s3 / p.n)::FLOAT, 0.0::FLOAT)::DOUBLE, 6) AS v3
         FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
         LEFT JOIN pooled p USING (doc_id)
+        """,
+        "split_train_val_test": """
+        SELECT doc_id,
+               CASE WHEN b < 800000 THEN 'train'
+                    WHEN b < 900000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS b
+          FROM documents
+        )
+        """,
+        "pack_doc_sequences": """
+        WITH RECURSIVE ordered AS (
+          SELECT doc_id % 8 AS shard, doc_id, n_chars AS sz,
+                 row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+          FROM documents
+        ), step AS (
+          SELECT shard, doc_id, rn, sz AS run, 0::BIGINT AS pack
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.shard, o.doc_id, o.rn,
+                 CASE WHEN s.run > 0 AND s.run + o.sz > 4000 THEN o.sz
+                      ELSE s.run + o.sz END,
+                 CASE WHEN s.run > 0 AND s.run + o.sz > 4000 THEN s.pack + 1
+                      ELSE s.pack END
+          FROM step s JOIN ordered o ON o.shard = s.shard AND o.rn = s.rn + 1
+        )
+        SELECT shard, doc_id, pack AS pack_id FROM step
         """,
         "j5_exact_lookup": """
         SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey

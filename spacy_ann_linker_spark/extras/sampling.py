@@ -1,0 +1,125 @@
+"""Deterministic dataset splitting and sequence packing — training-data
+pipeline operators (no reference analog; the reference is a linker, but a
+100 TB corpus feeding one needs reproducible splits and packed sequences).
+
+Both operators are pure column expressions / window aggregates — no UDFs,
+no RNG state. Determinism matters more than randomness quality here: a
+train/val/test split must give the SAME answer on every run, every cluster
+size, every partitioning, or downstream eval leaks. Hash-based bucketing
+(md5 — cross-engine, DuckDB-oracle-exact like extras/dedup.py:_h60) is the
+standard way to get that: the split is a FUNCTION of the row key, not of a
+sampled permutation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: buckets for the hash split: md5 nibbles -> [0, 1) with 1/RESOLUTION steps
+_RESOLUTION = 1_000_000
+
+
+def split_column(key_col, seed: str = "") -> "F.Column":
+    """[0, 1) deterministic uniform value from a row key: the first 8 hex
+    chars of md5(seed || key) scaled down. Cross-engine (DuckDB:
+    ('0x' || substr(md5(...), 1, 8))::BIGINT)."""
+    keyed = F.concat(F.lit(seed), key_col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("bigint") % _RESOLUTION
+    ) / F.lit(float(_RESOLUTION))
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (e.g. train/val/test) by hashing
+    `key_col`. Properties a `randomSplit` cannot give:
+
+      * stable across runs, partitionings, and cluster sizes (pure function
+        of the key — no sampled permutation, no RNG state);
+      * group-safe: hash a GROUP key (conv_id, doc_id) and every row of the
+        group lands in the same split — the leakage-safe way to split
+        conversations/documents with multiple rows;
+      * incremental: rows added tomorrow fall into the same proportions
+        without reshuffling yesterday's assignment.
+
+    weights: {"train": 0.9, "val": 0.05, "test": 0.05} — need not sum to 1;
+    they are normalized. Split boundaries are cumulative over the dict's
+    insertion order, and compared as INTEGER buckets (md5 value mod
+    RESOLUTION vs round(cum_weight * RESOLUTION)) — float accumulation of
+    weights (0.8 + 0.1 == 0.9000000000000001) would otherwise flip the
+    boundary bucket vs any engine using exact literals."""
+    total = float(sum(weights.values()))
+    keyed = F.concat(F.lit(seed), F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("bigint") % _RESOLUTION
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < F.lit(int(round(acc * _RESOLUTION)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Greedy sequential packing: within each shard, walk rows in
+    `order_col` order and cut a new pack whenever the running `size_col`
+    total would exceed `budget` (a document larger than the budget gets a
+    pack of its own). This is the concatenate-documents-into-context-windows
+    step of an LLM training pipeline, expressed as one window cumsum — no
+    UDFs, no driver loop.
+
+    Scale shape: the window partitions by `shard_col`, so parallelism =
+    shard count and no global sort exists. Shard by a stable key (e.g.
+    `pmod(xxhash64(doc_id), n_shards)`) sized so one shard's rows fit a
+    task; greedy-within-shard is the standard approximation (exact global
+    bin packing is NP-hard and needs a sequential pass).
+
+    The greedy reset-cumsum is inherently sequential per shard (floor
+    division of a cumsum is NOT greedy when items straddle boundaries), so
+    this is one of the rare places the brief's route (b) applies: an
+    Arrow-batched applyInPandas whose inner loop is O(#packs * log n) numpy
+    (cumsum + searchsorted per pack boundary), not per-row Python. A
+    window-prefix formulation would be expressible without Python but
+    carries an O(rows^2) collected prefix per shard — the applyInPandas
+    shape is the one that survives wide shards."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        sizes = pdf[size_col].to_numpy(dtype=np.int64)
+        cs = np.cumsum(sizes)
+        n = len(pdf)
+        packs = np.zeros(n, dtype=np.int64)
+        start, base, pack_id = 0, 0, 0
+        while start < n:
+            j = int(np.searchsorted(cs, base + budget, side="right")) - 1
+            if j < start:
+                j = start  # item larger than budget -> its own pack
+            packs[start : j + 1] = pack_id
+            pack_id += 1
+            base = int(cs[j])
+            start = j + 1
+        pdf[out_col] = packs
+        return pdf
+
+    return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)

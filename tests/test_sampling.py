@@ -1,0 +1,83 @@
+"""Deterministic splitting + sequence packing (extras/sampling.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_ann_linker_spark.extras.sampling import deterministic_split, pack_sequences
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_is_deterministic_and_partition_invariant(spark):
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in deterministic_split(df, "doc_id", WEIGHTS).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(df.repartition(17), "doc_id", WEIGHTS).collect()
+    }
+    assert a == b
+    # proportions within a few percent of the weights at n=5000
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 5000 - 0.8) < 0.03
+    assert abs(c["val"] / 5000 - 0.1) < 0.02
+    assert abs(c["test"] / 5000 - 0.1) < 0.02
+
+
+def test_split_is_group_safe_and_seed_sensitive(spark):
+    # hash a GROUP key: every row of a conversation lands in one split
+    rows = [(f"c{i % 50}", j) for i in range(50) for j in range(4 * (i % 3 + 1))]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    out = deterministic_split(df, "conv_id", WEIGHTS).collect()
+    per_conv = {}
+    for r in out:
+        per_conv.setdefault(r["conv_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_conv.values())
+    # a different seed reshuffles assignments
+    s1 = {r["conv_id"]: r["split"] for r in deterministic_split(df, "conv_id", WEIGHTS, seed="a").collect()}
+    s2 = {r["conv_id"]: r["split"] for r in deterministic_split(df, "conv_id", WEIGHTS, seed="b").collect()}
+    assert s1 != s2
+
+
+def _greedy_oracle(sizes, budget):
+    packs, run, pack = [], 0, 0
+    for x in sizes:
+        if run > 0 and run + x > budget:
+            pack += 1
+            run = 0
+        run += x
+        packs.append(pack)
+    return packs
+
+
+def test_pack_sequences_matches_sequential_oracle(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i % 4), int(i), int(rng.integers(1, 900)))
+        for i in range(400)
+    ]
+    # a few oversized items (> budget) must each get their own pack
+    rows += [(0, 1000, 5000), (1, 1001, 5000)]
+    df = spark.createDataFrame(rows, "shard int, ord int, n_tok int")
+    got = {
+        (r["shard"], r["ord"]): r["pack_id"]
+        for r in pack_sequences(df, "shard", "ord", "n_tok", budget=2000).collect()
+    }
+    for shard in range(4):
+        seq = sorted((o, t) for s, o, t in rows if s == shard)
+        want = _greedy_oracle([t for _, t in seq], 2000)
+        for (o, _), w in zip(seq, want):
+            assert got[(shard, o)] == w, (shard, o)
+
+
+def test_pack_sequences_respects_budget(spark):
+    df = spark.createDataFrame(
+        [(0, i, 300) for i in range(20)], "shard int, ord int, n_tok int"
+    )
+    out = pack_sequences(df, "shard", "ord", "n_tok", budget=1000)
+    sums = out.groupBy("pack_id").agg(F.sum("n_tok").alias("s")).collect()
+    assert all(r["s"] <= 1000 for r in sums)
+    # 300*3=900 fits, 4th would be 1200 -> packs of 3: ceil(20/3)=7 packs
+    assert out.select("pack_id").distinct().count() == 7

@@ -81,11 +81,12 @@ def pack_sequences(
     `order_col` order and cut a new pack whenever the running `size_col`
     total would exceed `budget` (a document larger than the budget gets a
     pack of its own). This is the concatenate-documents-into-context-windows
-    step of an LLM training pipeline, expressed as one window cumsum — no
-    UDFs, no driver loop.
+    step of an LLM training pipeline. `order_col` must be unique within a
+    shard (ties would make pack assignment depend on input partitioning)
+    and `size_col` non-negative.
 
-    Scale shape: the window partitions by `shard_col`, so parallelism =
-    shard count and no global sort exists. Shard by a stable key (e.g.
+    Scale shape: parallelism = shard count and no global sort exists.
+    Shard by a stable key (e.g.
     `pmod(xxhash64(doc_id), n_shards)`) sized so one shard's rows fit a
     task; greedy-within-shard is the standard approximation (exact global
     bin packing is NP-hard and needs a sequential pass).

@@ -234,6 +234,16 @@ def _q_a4b_mean_pool_table(spark, sf_dir):
     )
 
 
+def _q_text_unigram_logprob(spark, sf_dir):
+    """Perplexity-filter stand-in (extras/text_analysis.py): mean unigram
+    log10-probability per document under the corpus's own distribution."""
+    from spacy_ann_linker_spark.extras.text_analysis import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = unigram_logprob(docs, "doc_id", "text")
+    return out.select("doc_id", "n_words", F.round("logprob", R).alias("logprob"))
+
+
 def _q_split_train_val_test(spark, sf_dir):
     """Deterministic hash split (extras/sampling.py): reproducible
     train/val/test assignment as a pure function of the row key — stable
@@ -722,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_mean_pool_disambiguation": _q_a4_mean_pool_disambiguation,
         "a4b_mean_pool_table": _q_a4b_mean_pool_table,
         "split_train_val_test": _q_split_train_val_test,
+        "text_unigram_logprob": _q_text_unigram_logprob,
         "pack_doc_sequences": _q_pack_doc_sequences,
         "j5_exact_lookup": _q_j5_exact_lookup,
         "f6_semi_join": _q_f6_semi_join,
@@ -1198,6 +1209,21 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": r"""
         SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         FROM documents
+        """,
+        "text_unigram_logprob": r"""
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    w -> w <> '')) AS w
+          FROM documents
+        ), counts AS (
+          SELECT w, count(*) AS c FROM words GROUP BY w
+        ), total AS (
+          SELECT sum(c)::DOUBLE AS t FROM counts
+        )
+        SELECT doc_id, count(*) AS n_words, round(avg(log10(c / t)), 6) AS logprob
+        FROM words JOIN counts USING (w) CROSS JOIN total
+        GROUP BY doc_id
         """,
         "text_scrub": r"""
         SELECT doc_id,

@@ -141,3 +141,43 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     rolling/shingle hash variant lives in dedup.minhash_signatures.)"""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, broadcast_vocab: bool = True
+) -> DataFrame:
+    """Mean unigram log10-probability per document under the corpus's own
+    unigram distribution — the cheap, fully-SQL stand-in for
+    perplexity-based quality filtering (a standard LLM training-data gate:
+    documents whose words are globally rare score low; boilerplate scores
+    high). Two aggregations and a join, all JVM-side:
+
+        counts  = corpus word counts (one groupBy, map-side combined)
+        total   = one-row sum (crossJoin broadcast — never a driver pull)
+        score_d = avg over words w in d of log10(count(w) / total)
+
+    Smoothing is unnecessary: the vocabulary IS the corpus, so every
+    scored word has count >= 1. Documents with zero words drop (no score
+    is the honest answer; filter-side treats absent as reject).
+
+    broadcast_vocab=True fits typical vocabularies (10^6 distinct words is
+    ~tens of MB); at web scale (10^8+ distinct words) pass False for a
+    shuffle equi-join — word frequency is Zipf, so the session's AQE
+    skew-join handles the hot-word reducers.
+    -> (id, n_words, logprob)"""
+    words = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("w")
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    if broadcast_vocab:
+        counts = F.broadcast(counts)
+    total = counts.agg(F.sum("c").cast("double").alias("t"))
+    return (
+        words.join(counts, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.avg(F.log10(F.col("c") / F.col("t"))).alias("logprob"),
+        )
+    )

@@ -216,3 +216,28 @@ def test_ivf_index_save_load_roundtrip(tmp_path, spark):
     direct = key(ivf_topk(emb, q, n_centroids=8, nprobe=4, k=3).collect())
     via_index = key(ivf_topk_indexed(loaded, q, nprobe=4, k=3).collect())
     assert direct == via_index and len(direct) == 15
+
+
+def test_unigram_logprob_matches_numpy(spark):
+    import math
+
+    from spacy_ann_linker_spark.extras.text_analysis import unigram_logprob
+
+    docs = [(0, "the cat sat"), (1, "the the the"), (2, "rare words here"), (3, "   ")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["logprob"]) for r in unigram_logprob(df, "doc_id", "text").collect()}
+    # corpus counts: the=4, cat=1 sat=1 rare=1 words=1 here=1 -> total 9
+    t = 9.0
+    def lp(ws):
+        counts = {"the": 4}
+        return sum(math.log10(counts.get(w, 1) / t) for w in ws) / len(ws)
+    assert got[0][0] == 3 and abs(got[0][1] - lp(["the", "cat", "sat"])) < 1e-9
+    assert got[1][0] == 3 and abs(got[1][1] - lp(["the"] * 3)) < 1e-9
+    # boilerplate ("the the the") scores HIGHER than rare text
+    assert got[1][1] > got[2][1]
+    # token-less doc drops
+    assert 3 not in got
+    # non-broadcast join path agrees
+    got2 = {r["doc_id"]: (r["n_words"], r["logprob"])
+            for r in unigram_logprob(df, "doc_id", "text", broadcast_vocab=False).collect()}
+    assert got == got2

@@ -210,8 +210,12 @@ def run_bench(cpus: int) -> dict:
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "text_quality_score",
+        "text_unigram_logprob",
         "sessionize_events",
         "cc_components",
+        "split_train_val_test",
+        "pack_doc_sequences",
+        "a4b_mean_pool_table",
     ]:
         t0 = time.perf_counter()
         _noop(queries[name](spark, SF_DIR))

@@ -25,6 +25,21 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFra
     )
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """(q_id, item_id, cosine) -> the k best rows per q_id with a rank
+    column. The window ranks SLIM rows only — callers must drop every vector
+    column before this shuffle (the sort carries whole rows, and an
+    array<float> riding a row_number sort multiplies the shuffle bytes by
+    the embedding width)."""
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.select("q_id", "item_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("item_id"), "cosine", "rank")
+    )
+
+
 def cosine_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -33,7 +48,9 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact brute-force cosine top-k: for each query, the k nearest items
-    (excluding itself). Queries are broadcast (small side); items stream."""
+    (excluding itself). Queries are broadcast (small side); items stream.
+    Vectors are dropped the moment the cosine is computed — the top-k rank
+    shuffle moves (q_id, item_id, cosine) rows only."""
     it = _with_norm(items, id_col, vec_col, "item")
     q = _with_norm(queries, id_col, vec_col, "q")
     scored = (
@@ -45,11 +62,19 @@ def cosine_topk(
             / (F.col("item_n") * F.col("q_n") + F.lit(1e-12)),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("item_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("q_id").alias("query_id"), F.col("item_id"), "cosine", "rank")
+    return _topk_per_query(scored, k)
+
+
+def _centroid_array(centroids: DataFrame, vec_col: str) -> DataFrame:
+    """Collapse the centroid table to ONE row holding an id-sorted
+    array<struct(c_id, c_v, c_n)>. The centroid table is broadcast-small by
+    IVF construction (C in the tens-to-thousands), so the single-row
+    collapse is a trivial aggregate — and every downstream consumer can then
+    scan all C centroids INSIDE one row via higher-order functions instead
+    of materializing items x centroids join rows."""
+    c = _with_norm(centroids, "centroid_id", vec_col, "c")
+    return c.agg(
+        F.array_sort(F.collect_list(F.struct("c_id", "c_v", "c_n"))).alias("_cents")
     )
 
 
@@ -60,18 +85,80 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each item to its nearest centroid (IVF coarse quantizer).
-    centroids: (centroid_id, vector) — small, broadcast."""
+    centroids: (centroid_id, vector) — small, broadcast.
+
+    The argmin is a PURE PROJECTION: the centroid table collapses to a
+    single broadcast row holding an id-sorted array<struct>, and each item
+    folds over that array with F.aggregate (keep the strictly-better cosine;
+    iterating in centroid-id order makes ties resolve to the smallest id,
+    the same order the earlier sort-window gave). No items x centroids rows
+    ever exist, no aggregate touches item rows, and the plan has no Window,
+    no Sort, and no Exchange over the items at all — each item row computes
+    its own argmin where it sits. (The earlier shape shuffled + sorted
+    items x centroids rows each carrying the item vector through a
+    row_number window — a 64x vector-bearing shuffle blow-up at 64
+    centroids. A min_by aggregate was no fix: its struct buffer is not
+    hash-aggregable and falls back to SortAggregate.)"""
+    cid_type = centroids.schema["centroid_id"].dataType
     it = _with_norm(items, id_col, vec_col, "item")
-    c = _with_norm(centroids, "centroid_id", vec_col, "c")
-    scored = it.crossJoin(F.broadcast(c)).withColumn(
-        "cosine",
-        dot_product(F.col("item_v"), F.col("c_v")) / (F.col("item_n") * F.col("c_n") + F.lit(1e-12)),
-    )
-    w = Window.partitionBy("item_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+
+    def step(acc, ce):
+        cos = dot_product(F.col("item_v"), ce["c_v"]) / (
+            F.col("item_n") * ce["c_n"] + F.lit(1e-12)
+        )
+        better = cos > acc["bc"]
+        return F.struct(
+            F.when(better, cos).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, ce["c_id"]).otherwise(acc["cid"]).alias("cid"),
+        )
+
+    init = F.struct(
+        F.lit(-2.0).alias("bc"), F.lit(None).cast(cid_type).alias("cid")
+    )  # cosine under the +1e-12 guard is strictly inside (-1, 1)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("item_id", F.col("c_id").alias("centroid_id"), F.col("item_v"), F.col("item_n"))
+        it.crossJoin(F.broadcast(_centroid_array(centroids, vec_col)))
+        .select(
+            "item_id",
+            "item_v",
+            "item_n",
+            F.aggregate("_cents", init, step).alias("_b"),
+        )
+        .select("item_id", F.col("_b.cid").alias("centroid_id"), "item_v", "item_n")
+    )
+
+
+def _probe_centroids(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(q_id, q_v, q_n, centroid_id): the nprobe nearest centroids per query.
+
+    Same shape as ivf_assign — the broadcast single-row centroid array is
+    scored per query INSIDE the row (transform -> array_sort -> slice over C
+    elements, ordered by (-cosine, c_id)), then the nprobe winners explode.
+    No groupBy, no window: query vectors never ride a shuffle, and the only
+    row multiplication is the final x nprobe explode the probe join needs
+    anyway."""
+    q = _with_norm(queries, id_col, vec_col, "q")
+
+    def score(ce):
+        cos = dot_product(F.col("q_v"), ce["c_v"]) / (
+            F.col("q_n") * ce["c_n"] + F.lit(1e-12)
+        )
+        return F.struct((-cos).alias("nc"), ce["c_id"].alias("cid"))
+
+    return (
+        q.crossJoin(F.broadcast(_centroid_array(centroids, vec_col)))
+        .select(
+            "q_id",
+            "q_v",
+            "q_n",
+            F.slice(F.array_sort(F.transform("_cents", score)), 1, nprobe).alias("_top"),
+        )
+        .select("q_id", "q_v", "q_n", F.explode(F.col("_top.cid")).alias("centroid_id"))
     )
 
 
@@ -209,33 +296,17 @@ def ivf_topk_indexed(
     """Query a prebuilt IvfIndex: probe the nprobe nearest centroid buckets
     per query, exact cosine within. nprobe == n_centroids is exact."""
     vec_col = index.vec_col
-    q_assign = (
-        _with_norm(queries, id_col, vec_col, "q")
-        .crossJoin(F.broadcast(_with_norm(index.centroids, "centroid_id", vec_col, "c")))
+    probes = _probe_centroids(queries, index.centroids, nprobe, id_col, vec_col)
+    scored = (
+        probes.join(index.assigned, "centroid_id")
+        .filter(F.col("item_id") != F.col("q_id"))
         .withColumn(
             "cosine",
-            dot_product(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n") + F.lit(1e-12)),
+            dot_product(F.col("q_v"), F.col("item_v"))
+            / (F.col("q_n") * F.col("item_n") + F.lit(1e-12)),
         )
     )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    probes = (
-        q_assign.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "q_v", "q_n", F.col("c_id").alias("centroid_id"))
-    )
-    scored = probes.join(index.assigned, "centroid_id").filter(
-        F.col("item_id") != F.col("q_id")
-    )
-    scored = scored.withColumn(
-        "cosine",
-        dot_product(F.col("q_v"), F.col("item_v")) / (F.col("q_n") * F.col("item_n") + F.lit(1e-12)),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("item_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("q_id").alias("query_id"), "item_id", "cosine", "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def ivf_topk(
@@ -250,30 +321,5 @@ def ivf_topk(
     """IVF approximate top-k: probe the nprobe nearest centroid buckets per
     query, exact cosine within. nprobe == n_centroids degenerates to exact.
     One-shot convenience over build_ivf_index + ivf_topk_indexed."""
-    cents = seeded_centroids(items, n_centroids, id_col, vec_col)
-    assigned = ivf_assign(items, cents, id_col, vec_col)
-    q_assign = (
-        _with_norm(queries, id_col, vec_col, "q")
-        .crossJoin(F.broadcast(_with_norm(cents, "centroid_id", vec_col, "c")))
-        .withColumn(
-            "cosine",
-            dot_product(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n") + F.lit(1e-12)),
-        )
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    probes = (
-        q_assign.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "q_v", "q_n", F.col("c_id").alias("centroid_id"))
-    )
-    scored = probes.join(assigned, "centroid_id").filter(F.col("item_id") != F.col("q_id"))
-    scored = scored.withColumn(
-        "cosine",
-        dot_product(F.col("q_v"), F.col("item_v")) / (F.col("q_n") * F.col("item_n") + F.lit(1e-12)),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("item_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("q_id").alias("query_id"), "item_id", "cosine", "rank")
-    )
+    index = build_ivf_index(items, n_centroids, id_col, vec_col)
+    return ivf_topk_indexed(index, queries, nprobe=nprobe, k=k, id_col=id_col)

@@ -143,3 +143,41 @@ def test_blocked_link_plan_shape(spark, golden_model):
     # the memo feeding the final joins is the truncated checkpoint scan
     assert "ExistingRDD" in plan or "InMemoryTableScan" in plan, plan[:2000]
     release_memos()
+
+
+def test_ivf_assign_is_pure_projection_no_sort_window(spark):
+    """The IVF coarse-quantizer argmin must be a pure projection over a
+    broadcast single-row centroid array: a row_number sort window here
+    shuffles + sorts items x centroids rows EACH carrying the item vector (a
+    64x vector-bearing shuffle blow-up at 64 centroids). The plan must
+    contain no Window and no Sort, and the only aggregate is the tiny
+    centroid-table collapse (never over item rows)."""
+    from pyspark.sql import functions as F
+
+    from spacy_ann_linker_spark.extras.similarity_search import (
+        ivf_assign,
+        seeded_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    assigned = ivf_assign(emb, seeded_centroids(emb, 8))
+    plan = _plan(assigned)
+    assert "Window" not in plan, plan[:2000]
+    assert "Sort" not in plan, plan[:2000]
+
+    # correctness of the aggregate rewrite: every item lands on its true
+    # nearest centroid (ties impossible on this data; spot-check argmin)
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.limit(200).collect()}
+    cents = {r["centroid_id"]: np.array(r["embedding"])
+             for r in seeded_centroids(emb, 8).collect()}
+    got = {r["item_id"]: r["centroid_id"] for r in assigned.collect()}
+    for vid, v in list(vecs.items())[:50]:
+        best = min(
+            cents,
+            key=lambda c: (-float(v @ cents[c] / (np.linalg.norm(v) * np.linalg.norm(cents[c]) + 1e-12)), c),
+        )
+        assert got[vid] == best

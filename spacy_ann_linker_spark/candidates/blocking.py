@@ -37,39 +37,53 @@ def minhash_band_keys(
     """(col, band, bucket): LSH band keys from minhash signatures over the
     string's 3-gram set. rows-per-band = num_hashes // bands; with r=2,
     b=12, pairs at Jaccard s collide with prob 1-(1-s^2)^12 (>=0.96 at
-    s=0.5)."""
+    s=0.5).
+
+    ONE groupBy with num_hashes min-aggregators (the extras/dedup.py
+    minhash_signatures shape) — NOT an explode over seeds, which multiplied
+    the shuffle input num_hashes-fold on every call; this runs per BATCH on
+    the mention side of the declared 100 TB blocked path, so the map-side
+    partial aggregation seeing each gram row exactly once is the property
+    that keeps the per-batch shuffle linear in gram rows. Band buckets then
+    derive in-row: xxhash64 over the band's r minhash longs directly (no
+    second groupBy, no string concat)."""
     r = num_hashes // bands
     grams = _gram_set(df, col)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    sigs = (
-        grams.select(F.col(col), "g", seeds)
-        .groupBy(col, "seed")
-        .agg(F.min(F.xxhash64("g", "seed")).alias("mh"))
-    )
-    return (
-        sigs.withColumn("band", (F.col("seed") / r).cast("int"))
-        .groupBy(col, "band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "mh"))))
-            ).alias("bucket")
+    aggs = [
+        F.min(F.xxhash64("g", F.lit(s))).alias(f"_mh{s}") for s in range(num_hashes)
+    ]
+    wide = grams.groupBy(col).agg(*aggs)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"_mh{b * r + i}") for i in range(r)]).alias("bucket"),
         )
+        for b in range(bands)
+    ]
+    return (
+        wide.select(F.col(col), F.explode(F.array(*band_structs)).alias("_bb"))
+        .select(col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     )
 
 
 def lsh_pairs(
     texts: DataFrame,
-    aliases: DataFrame,
+    aliases: DataFrame | None = None,
     num_hashes: int = 24,
     bands: int = 12,
     alias_keys: DataFrame | None = None,
 ) -> DataFrame:
     """(text, alias) candidate pairs whose 3-gram minhash bands collide.
 
-    alias_keys: precomputed `minhash_band_keys(aliases, "alias", ...)` — the
-    alias side is static per model, so callers in a per-batch loop pass the
-    cached table (CandidateModel.alias_band_keys) instead of re-running the
-    signature groupBys every call."""
+    Exactly ONE of `aliases` / `alias_keys` must be given. alias_keys is a
+    precomputed `minhash_band_keys(aliases, "alias", ...)` — the alias side
+    is static per model, so callers in a per-batch loop pass the cached
+    table (CandidateModel.alias_band_keys) instead of re-running the
+    signature groupBys every call; passing both is rejected rather than
+    silently ignoring `aliases` (a stale alias_keys from a DIFFERENT alias
+    table would yield wrong candidate pairs with no error)."""
+    if (aliases is None) == (alias_keys is None):
+        raise ValueError("lsh_pairs: pass exactly one of aliases / alias_keys")
     t = minhash_band_keys(texts, "text", num_hashes, bands)
     a = alias_keys if alias_keys is not None else minhash_band_keys(
         aliases, "alias", num_hashes, bands

@@ -143,9 +143,8 @@ def _sims_blocked(
     pairs = (
         lsh_pairs(
             rest,
-            model.aliases,
-            num_hashes,
-            bands,
+            num_hashes=num_hashes,
+            bands=bands,
             alias_keys=model.alias_band_keys(num_hashes, bands),
         )
         .unionByName(sorted_neighborhood_pairs(rest, model.aliases, prefix_len))
@@ -169,6 +168,7 @@ def _candidate_branches(
     exact_fast_path: bool,
     use_blocking: bool = False,
     max_gram_df: int | None = None,
+    broadcast_exact_aliases: bool = True,
 ) -> tuple[DataFrame, DataFrame | None, DataFrame]:
     """Shared branch plumbing: (short-bypass rows, exact-fast-path rows or
     None, raw similarity rows). Branches are disjoint by text (each anti-join
@@ -200,16 +200,23 @@ def _candidate_branches(
     if exact_fast_path:
         # J5: verbatim (case-folded) alias hits are cosine-1.0 by construction;
         # answer them with a broadcast join and keep them out of the big join.
+        # broadcast_exact_aliases=False (the 100M-alias gazetteer regime,
+        # where a full alias broadcast OOMs driver + executors) runs the same
+        # two joins as shuffles instead: the key is the full case-folded
+        # string — near-unique on both sides (mentions arrive deduped, the
+        # alias table is distinct), so there is no hot key to salt and AQE
+        # sizes the exchange.
         alias_lower = model.aliases.withColumn("_al", F.lower("alias"))
+        _bc = F.broadcast if broadcast_exact_aliases else (lambda df: df)
         exact = (
             rest.withColumn("_tl", F.lower("text"))
-            .join(F.broadcast(alias_lower), F.col("_tl") == F.col("_al"), "inner")
+            .join(_bc(alias_lower), F.col("_tl") == F.col("_al"), "inner")
             .select("text", "alias", F.lit(1.0).alias("similarity"))
         )
         rest = (
             rest.withColumn("_tl", F.lower("text"))
             .join(
-                F.broadcast(alias_lower.select("_al").distinct()),
+                _bc(alias_lower.select("_al").distinct()),
                 F.col("_tl") == F.col("_al"),
                 "left_anti",
             )
@@ -255,6 +262,7 @@ def generate_best_candidates(
     exact_fast_path: bool = False,
     use_blocking: bool = False,
     max_gram_df: int | None = None,
+    broadcast_exact_aliases: bool = True,
 ) -> DataFrame:
     """texts -> (text, alias, similarity): the single best candidate per
     mention string, computed with hash aggregations (min_by over an ordering
@@ -267,7 +275,12 @@ def generate_best_candidates(
     neighborhood pair join (bounded at any scale); max_gram_df caps hot-gram
     posting lists on the exact join. Both default off = reference-exact."""
     short, exact, sims = _candidate_branches(
-        model, texts, exact_fast_path, use_blocking=use_blocking, max_gram_df=max_gram_df
+        model,
+        texts,
+        exact_fast_path,
+        use_blocking=use_blocking,
+        max_gram_df=max_gram_df,
+        broadcast_exact_aliases=broadcast_exact_aliases,
     )
     best_sim = (
         sims.groupBy("text")

@@ -166,3 +166,40 @@ def test_alias_band_keys_cached_per_params(spark, prod_model):
 
     fresh = minhash_band_keys(prod_model.aliases, "alias", 24, 12)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, fresh.collect()))
+
+
+def test_minhash_band_keys_single_groupby_no_seed_explode(spark, prod_model):
+    """The per-batch mention side of the blocked path must build its minhash
+    signatures with ONE map-side-combined groupBy holding num_hashes min
+    aggregators — never an explode over seeds, which multiplies the gram
+    shuffle input num_hashes-fold on every micro-batch."""
+    from spacy_ann_linker_spark.candidates.blocking import minhash_band_keys
+
+    t = spark.createDataFrame([("research",), ("statistics",)], "text string")
+    keys = minhash_band_keys(t, "text", 24, 12)
+    plan = keys._sc._jvm.PythonSQLUtils.explainString(
+        keys._jdf.queryExecution(), "formatted"
+    )
+    # the old seed explode materialized explode(sequence(0, num_hashes-1)) as
+    # an extra Generate BEFORE the aggregation; the only Generates allowed are
+    # the gram explode (pre-agg) and the in-row band explode (post-agg), and
+    # the whole signature computation is ONE map-side-combined exchange
+    assert plan.count("+- Generate") + plan.count(":- Generate") == 2, plan[:2000]
+    assert plan.count("+- Exchange") == 1, plan[:2000]
+    assert "partial_min" in plan  # map-side combine over the gram rows
+    # contract: every string emits exactly `bands` (band, bucket) rows,
+    # deterministic run to run
+    rows = keys.collect()
+    assert len(rows) == 2 * 12
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, minhash_band_keys(t, "text", 24, 12).collect()))
+
+
+def test_lsh_pairs_rejects_both_alias_args(spark, prod_model):
+    import pytest as _pytest
+
+    t = spark.createDataFrame([("research",)], "text string")
+    keys = prod_model.alias_band_keys(24, 12)
+    with _pytest.raises(ValueError, match="exactly one"):
+        lsh_pairs(t, prod_model.aliases, alias_keys=keys)
+    with _pytest.raises(ValueError, match="exactly one"):
+        lsh_pairs(t)

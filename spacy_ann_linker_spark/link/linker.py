@@ -111,6 +111,7 @@ def best_aliases(
     broadcast_rescue_aliases: bool = True,
     rescue_salt_buckets: int = 16,
     truncate_memos: bool | None = None,
+    broadcast_exact_aliases: bool = True,
 ) -> DataFrame:
     """(text, alias, similarity) — best surviving alias per distinct mention
     string (T2: `alias_candidates[0]` after the strict-> threshold filter).
@@ -129,7 +130,11 @@ def best_aliases(
     block key has only ~|alphabet| distinct values, so without salting every
     's...' alias lands on one reducer; aliases pick a deterministic salt
     from their own string, unmatched mentions replicate across all
-    `rescue_salt_buckets` (identical result set, verified in tests)."""
+    `rescue_salt_buckets` (identical result set, verified in tests).
+
+    broadcast_exact_aliases: same knob for the J5 exact-fast-path alias
+    table (generate.py _candidate_branches) — False switches the verbatim
+    lookup to shuffle joins for gazetteers too big to broadcast."""
     # global argmax == rank-1 of top-k for any k, so the linking path skips
     # the top-k sort window entirely (hash aggregations only); strict >
     # threshold applied after, same as filtering the k-list then taking [0].
@@ -141,6 +146,7 @@ def best_aliases(
         exact_fast_path=exact_fast_path,
         use_blocking=use_blocking,
         max_gram_df=max_gram_df,
+        broadcast_exact_aliases=broadcast_exact_aliases,
     ).filter(F.col("similarity") > F.lit(threshold))
     if not fuzzy_rescue:
         return best
@@ -264,6 +270,8 @@ def link_mentions(
     truncate_memos: bool | None = None,
     word_vectors_table: DataFrame | None = None,
     dim: int = 64,
+    broadcast_exact_aliases: bool = True,
+    broadcast_entity_vectors: bool = True,
 ) -> DataFrame:
     """mentions (MENTION_SCHEMA) + turns (TRANSCRIPT_SCHEMA) -> links.
 
@@ -276,6 +284,16 @@ def link_mentions(
     path only; True forces truncation (recommended at >= 10^6-turn inputs,
     where the untruncated exact-path memo plan intermittently pays the same
     task-binary/GC tax — see _materialize_memo); False never truncates.
+
+    broadcast_exact_aliases / broadcast_entity_vectors: True (default) is
+    right for every KB that fits one executor; False is the 100M-entity
+    gazetteer regime — the reference's whole reason for remote linking was
+    "KB cannot be in memory" (remote_ann_linker.py:21-23), and this engine's
+    answer is that BOTH dimension tables can instead join as shuffles: the
+    exact-alias lookup keys on near-unique full strings, and the
+    entity-vector attach keys on entity_id (millions of distinct values —
+    hot-entity skew is AQE skew-join territory, not a single-reducer
+    collapse). Identical results either way, verified in tests.
 
     no_description_threshold is accepted for config parity and intentionally
     unused: in the reference it feeds a list comprehension whose result is
@@ -303,6 +321,7 @@ def link_mentions(
             max_gram_df=max_gram_df,
             broadcast_rescue_aliases=broadcast_rescue_aliases,
             truncate_memos=truncate_memos,
+            broadcast_exact_aliases=broadcast_exact_aliases,
         ),
         truncate=use_blocking if truncate_memos is None else truncate_memos,
     )
@@ -339,7 +358,9 @@ def link_mentions(
     # drop both vector arrays the moment the cosine is computed — they must
     # not ride through the argmax shuffle
     scored = (
-        matched.join(F.broadcast(evecs), "entity_id")
+        matched.join(
+            F.broadcast(evecs) if broadcast_entity_vectors else evecs, "entity_id"
+        )
         .join(ctx, ["conv_id", "turn_idx"])
         .withColumn(
             "context_similarity",

@@ -64,6 +64,8 @@ def link_transcripts(
     truncate_memos: bool | None = None,
     word_vectors_table: DataFrame | None = None,
     dim: int = 64,
+    broadcast_exact_aliases: bool = True,
+    broadcast_entity_vectors: bool = True,
 ) -> DataFrame:
     """Link every mention in every turn to its KB entity.
 
@@ -89,6 +91,8 @@ def link_transcripts(
         truncate_memos=truncate_memos,
         word_vectors_table=word_vectors_table,
         dim=dim,
+        broadcast_exact_aliases=broadcast_exact_aliases,
+        broadcast_entity_vectors=broadcast_entity_vectors,
     )
 
 

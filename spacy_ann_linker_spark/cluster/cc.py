@@ -64,12 +64,14 @@ def connected_components_long(edges: DataFrame, max_iter: int = 30) -> DataFrame
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint(eager=True)
 
-    # size the loop's materialized partitions to the edge count: CC runs
-    # O(log n) rounds, and a fixed session-wide partition count either drowns
-    # small graphs in empty tasks or chokes big ones — target ~500k edges per
-    # partition, capped at the session setting. The sizing is an EXPLICIT
-    # repartition on the checkpointed edge set each round, never a mutation
-    # of session-global spark.sql.shuffle.partitions (which would leak the
+    # size each round's MATERIALIZED output (the localCheckpoint block
+    # count) to the edge count — target ~500k edges per partition, capped at
+    # the session setting. Note the limited reach: the joins/aggregations
+    # inside _large_star/_small_star still shuffle at the session-wide
+    # spark.sql.shuffle.partitions (AQE's post-shuffle coalescing is what
+    # absorbs their empty-task overhead on small graphs); what the explicit
+    # repartition buys is right-sized checkpoint blocks and next-round scan
+    # tasks, WITHOUT mutating session-global conf (which would leak the
     # clamped value into any concurrent job on the same session — streaming
     # micro-batches, parallel checkpoint stages).
     spark = e.sparkSession

@@ -22,6 +22,9 @@ Reference behaviors preserved:
 
 from __future__ import annotations
 
+import contextvars
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,13 +44,53 @@ DEFAULT_THRESHOLD = 0.7  # ann_linker.py:49
 # memo tables (mention_alias_map and the pre-rescue candidate set) registered
 # here so long-running callers (the serve loop, streaming foreachBatch) can
 # drop references after each request instead of waiting for driver GC +
-# ContextCleaner
+# ContextCleaner. Registration is SCOPED when a memo_scope() is active:
+# concurrent callers on one driver (ThreadingHTTPServer /link handlers, a
+# streaming micro-batch racing a serve request) must each release only their
+# own memos — a process-global release from one thread's finally block would
+# unpersist memos another in-flight request is still joining against,
+# forcing the exact candidate-join recompute the eager persist exists to
+# avoid (measured ~3x wall). Contextvars give each thread (handler threads
+# start with a fresh Context) its own scope; the module-global list remains
+# the single-caller default so batch scripts need no ceremony.
 _PERSISTED_MEMOS: list = []
+_MEMO_SCOPE: contextvars.ContextVar = contextvars.ContextVar(
+    "spacy_ann_memo_scope", default=None
+)
 
 
 def _register_memo(df: DataFrame) -> DataFrame:
-    _PERSISTED_MEMOS.append(df)
+    scope = _MEMO_SCOPE.get()
+    (_PERSISTED_MEMOS if scope is None else scope).append(df)
     return df
+
+
+def _release_list(memos: list) -> int:
+    n = 0
+    while memos:
+        df = memos.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+@contextmanager
+def memo_scope():
+    """Scope memo registration to this call: every memo table persisted
+    inside the block is released on exit, and ONLY those — safe under
+    concurrent /link requests and streaming micro-batches sharing one
+    driver. Release happens after the block, so materialize (collect/write)
+    the linking output inside it."""
+    token = _MEMO_SCOPE.set([])
+    try:
+        yield
+    finally:
+        memos = _MEMO_SCOPE.get()
+        _MEMO_SCOPE.reset(token)
+        _release_list(memos)
 
 
 def _materialize_memo(df: DataFrame, truncate: bool) -> DataFrame:
@@ -86,16 +129,12 @@ def release_memos() -> int:
     """Release every memo table registered since the last release: unpersist
     cached ones and drop the reference so ContextCleaner can free
     localCheckpoint blocks. Safe to call any time AFTER the linking output
-    has been materialized (collect/write); returns the number released."""
-    n = 0
-    while _PERSISTED_MEMOS:
-        df = _PERSISTED_MEMOS.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass
-    return n
+    has been materialized (collect/write); returns the number released.
+    Inside a memo_scope() this releases the scope's own memos only (the
+    scope also auto-releases on exit, so explicit calls there are
+    optional)."""
+    scope = _MEMO_SCOPE.get()
+    return _release_list(_PERSISTED_MEMOS if scope is None else scope)
 
 
 def best_aliases(

@@ -62,16 +62,16 @@ def link_documents(
     ).withColumn("mention_id", F.xxhash64("conv_id", "turn_idx", "start"))
     if not mention_rows:
         mentions = mentions.filter(F.col("conv_id") != "")
-    from spacy_ann_linker_spark.link.linker import release_memos
+    from spacy_ann_linker_spark.link.linker import memo_scope
 
-    try:
+    # long-running server: free THIS request's memo caches on exit — scoped,
+    # so a concurrent /link handler thread's in-flight memos are untouched
+    # (ThreadingHTTPServer runs handlers concurrently; a global release here
+    # would unpersist tables another request is still joining against)
+    with memo_scope():
         links = link_mentions(
             mentions, turns, model.kb, model.cand, threshold=threshold
         ).collect()
-    finally:
-        # long-running server: free the per-request memo caches immediately
-        # instead of accumulating persisted tables until ContextCleaner GC
-        release_memos()
     by_span = {(r["conv_id"], r["start"], r["end"]): r["entity_id"] for r in links}
 
     out = []
@@ -124,7 +124,19 @@ def make_server(spark: SparkSession, model, host: str = "127.0.0.1", port: int =
                 docs = body.get("documents") or []
                 if not isinstance(docs, list):
                     raise ValueError("documents must be a list")
-            except (ValueError, json.JSONDecodeError) as ex:
+                # validate span shape here so client-data errors surface as
+                # 400, not as a 500 out of link_documents' parsing phase
+                for d in docs:
+                    if not isinstance(d, dict):
+                        raise ValueError("each document must be an object")
+                    spans = d.get("spans") or []
+                    if not isinstance(spans, list):
+                        raise ValueError("spans must be a list")
+                    for s in spans:
+                        if not isinstance(s, dict):
+                            raise ValueError("each span must be an object")
+                        int(s.get("start", -1)), int(s.get("end", -1))
+            except (ValueError, TypeError, json.JSONDecodeError) as ex:
                 self._send(400, {"detail": f"bad request: {ex}"})
                 return
             try:

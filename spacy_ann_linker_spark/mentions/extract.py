@@ -168,14 +168,20 @@ def _get_pattern_broadcast(sc, patterns: list[str]):
     key = _patterns_key(patterns, False, "bc")
     bc = _BROADCAST_CACHE.get(key)
     if bc is None:
-        if len(_BROADCAST_CACHE) > 64:  # bound driver/executor memory
-            for old in _BROADCAST_CACHE.values():
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
-            _BROADCAST_CACHE.clear()
+        while len(_BROADCAST_CACHE) > 64:  # bound driver/executor memory:
+            # evict the LRU entry ONLY — clearing the whole cache would
+            # unpersist hot entries (and broadcasts referenced by in-flight
+            # queries on other threads), forcing executors to refetch every
+            # pattern set from the driver while the cache rebuilds from zero
+            old_key = next(iter(_BROADCAST_CACHE))
+            old = _BROADCAST_CACHE.pop(old_key)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
         bc = _BROADCAST_CACHE.setdefault(key, sc.broadcast(list(patterns)))
+    else:
+        _BROADCAST_CACHE[key] = _BROADCAST_CACHE.pop(key)  # mark most-recent
     return bc
 
 

@@ -91,21 +91,25 @@ def start_full_link_stream(
     partitions by an explicit _batch_id so a replayed batch OVERWRITES its
     own partition (idempotent), the standard foreachBatch dedup recipe.
     Returns the StreamingQuery (caller stops it)."""
-    from spacy_ann_linker_spark.link.linker import link_mentions, release_memos
+    from spacy_ann_linker_spark.link.linker import link_mentions, memo_scope
     from spacy_ann_linker_spark.mentions.extract import extract_mentions
 
     def link_batch(batch_df: DataFrame, batch_id: int) -> None:
-        mentions = extract_mentions(batch_df, patterns)
-        links = link_mentions(
-            mentions,
-            batch_df,
-            model.kb,
-            model.cand,
-            threshold=threshold,
-            fuzzy_rescue=fuzzy_rescue,
-            use_blocking=use_blocking,
-        )
-        try:
+        # per-batch memo caches must not accumulate — and the release must be
+        # SCOPED to this micro-batch: the streaming thread shares the driver
+        # with any concurrent serve/batch caller, and a global release here
+        # would unpersist memos those callers are mid-join on
+        with memo_scope():
+            mentions = extract_mentions(batch_df, patterns)
+            links = link_mentions(
+                mentions,
+                batch_df,
+                model.kb,
+                model.cand,
+                threshold=threshold,
+                fuzzy_rescue=fuzzy_rescue,
+                use_blocking=use_blocking,
+            )
             (
                 links.withColumn("_batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
@@ -113,8 +117,6 @@ def start_full_link_stream(
                 .option("partitionOverwriteMode", "dynamic")
                 .parquet(output_path)
             )
-        finally:
-            release_memos()  # per-batch memo caches must not accumulate
 
     return (
         stream.writeStream.foreachBatch(link_batch)

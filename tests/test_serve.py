@@ -114,3 +114,77 @@ def test_example_data_cli(tmp_path):
     als = [json.loads(l) for l in (out / "aliases.jsonl").read_text().splitlines()]
     assert {e["id"] for e in ents} >= {"a1", "a3", "a15"}
     assert {"alias", "entities", "probabilities"} <= set(als[0])
+
+
+def test_malformed_spans_return_400(spark):
+    """Client-data errors in span shape (non-numeric offsets, non-dict
+    spans) must surface as HTTP 400, not 500 (ADVICE r3: the validation
+    split only covered the outer envelope)."""
+    from spacy_ann_linker_spark.link.serve import make_server
+    from spacy_ann_linker_spark.pipeline import build_golden_model
+
+    model = build_golden_model(spark, min_df=1)
+    server = make_server(spark, model, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        for bad_docs in (
+            [{"spans": [{"text": "x", "start": "zero", "end": 3}], "context": "x"}],
+            [{"spans": ["not-a-dict"], "context": "x"}],
+            [{"spans": {"start": 0}, "context": "x"}],
+            ["not-a-doc"],
+        ):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/link",
+                data=json.dumps({"documents": bad_docs}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                raise AssertionError(f"expected HTTP 400 for {bad_docs!r}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, (e.code, bad_docs)
+    finally:
+        server.shutdown()
+
+
+def test_memo_scope_isolates_concurrent_callers(spark):
+    """ADVICE r3 (medium): memos registered inside a memo_scope release
+    independently of the global registry and of other threads' scopes — a
+    concurrent /link request must never unpersist another request's
+    in-flight memos."""
+    import queue
+
+    from pyspark.sql import functions as F
+
+    from spacy_ann_linker_spark.link import linker as linker_mod
+    from spacy_ann_linker_spark.link.linker import memo_scope, release_memos
+
+    release_memos()  # drain any leftovers from earlier tests
+    df_global = linker_mod._register_memo(spark.range(4).persist())
+    with memo_scope():
+        a = linker_mod._register_memo(spark.range(5).persist())
+        b = linker_mod._register_memo(spark.range(6).persist())
+        a.count(), b.count()
+        # release inside the scope touches ONLY the scope's memos
+        assert release_memos() == 2
+        assert linker_mod._PERSISTED_MEMOS == [df_global]
+    # global registry untouched by scope exit
+    assert linker_mod._PERSISTED_MEMOS == [df_global]
+
+    # thread isolation: a handler thread's scope never sees main's registry
+    out: "queue.Queue" = queue.Queue()
+
+    def handler():
+        with memo_scope():
+            linker_mod._register_memo(spark.range(7).persist()).count()
+            out.put(("inside", release_memos()))
+        out.put(("after", linker_mod._PERSISTED_MEMOS == [df_global]))
+
+    th = threading.Thread(target=handler)
+    th.start()
+    th.join(60)
+    assert out.get() == ("inside", 1)
+    assert out.get() == ("after", True)
+    assert release_memos() == 1  # the global one

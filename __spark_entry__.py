@@ -492,6 +492,25 @@ def _q_salted_group_count(spark, sf_dir):
     return salted_count_by_key(ev, "user_id", salt_buckets=16)
 
 
+def _q_jw_similarity(spark, sf_dir):
+    """Jaro-Winkler over consecutive part-name pairs — the typo-rescue
+    scoring function (link/linker.py fuzzy_rescue) pinned against DuckDB's
+    jaro_winkler_similarity. boost_threshold=0.7 selects the classic
+    Winkler gate DuckDB implements (the rescue default 0.0 boosts always;
+    functions/stringsim.py documents the divergence)."""
+    from spacy_ann_linker_spark.functions.stringsim import make_jaro_winkler_udf
+
+    jw = make_jaro_winkler_udf(boost_threshold=0.7)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_name")
+    a = part.filter(F.col("p_partkey") <= 300).select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a")
+    )
+    b = part.select((F.col("p_partkey") - 1).alias("id_a"), F.col("p_name").alias("name_b"))
+    return a.join(b, "id_a").select(
+        "id_a", F.round(jw(F.col("name_a"), F.col("name_b")), R).alias("jw")
+    )
+
+
 def _q_prefix_block_pairs(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
     a = docs.select(F.col("doc_id").alias("id_a"), F.lower(F.substring("text", 1, 8)).alias("_bk"))
@@ -755,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_lite_revenue": _q_tpch_q3_lite,
         "rollup_revenue": _q_rollup_revenue,
         "salted_group_count": _q_salted_group_count,
+        "jw_similarity": _q_jw_similarity,
         "prefix_block_pairs": _q_prefix_block_pairs,
         "event_time_window": _q_event_time_window,
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -1304,6 +1324,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_group_count": """
         SELECT user_id, count(*) AS count FROM events GROUP BY user_id
+        """,
+        "jw_similarity": """
+        SELECT a.p_partkey AS id_a,
+               round(jaro_winkler_similarity(lower(a.p_name), lower(b.p_name)), 6) AS jw
+        FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        WHERE a.p_partkey <= 300
         """,
         "prefix_block_pairs": """
         WITH k AS (

@@ -51,8 +51,17 @@ def jaro(s1: str, s2: str) -> float:
     return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
 
 
-def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+def jaro_winkler(
+    s1: str, s2: str, p: float = 0.1, max_prefix: int = 4, boost_threshold: float = 0.0
+) -> float:
+    """boost_threshold: the classic Winkler convention (and DuckDB's
+    jaro_winkler_similarity) applies the prefix boost only when the base
+    Jaro score exceeds 0.7; the rescue path defaults to 0.0 (always boost)
+    so near-threshold typo scores degrade smoothly instead of cliffing at
+    the boost gate. Pass 0.7 for cross-engine parity with DuckDB."""
     j = jaro(s1, s2)
+    if j <= boost_threshold and j != 1.0 and boost_threshold > 0.0:
+        return j
     prefix = 0
     for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
         if a != b:
@@ -77,7 +86,11 @@ def _pad_codes(joined: str, lens: np.ndarray) -> np.ndarray:
 
 
 def jaro_winkler_batch(
-    a: list[str], b: list[str], p: float = 0.1, max_prefix: int = 4
+    a: list[str],
+    b: list[str],
+    p: float = 0.1,
+    max_prefix: int = 4,
+    boost_threshold: float = 0.0,
 ) -> np.ndarray:
     """Batch-vectorized Jaro-Winkler, identical to the scalar reference
     (property-tested in tests/test_stringsim.py).
@@ -143,7 +156,11 @@ def jaro_winkler_batch(
         prefix = np.cumprod(eq, axis=1).sum(axis=1)
     else:
         prefix = np.zeros(n, dtype=np.int64)
-    out = jaro_sim + prefix * p * (1.0 - jaro_sim)
+    out = np.where(
+        jaro_sim > boost_threshold,
+        jaro_sim + prefix * p * (1.0 - jaro_sim),
+        jaro_sim,
+    )
     # scalar short-circuit parity: identical strings score 1.0 even when the
     # match window is empty (1-char strings). la == lb implies la <= the
     # shared width, and padding is 0 on both sides, so a prefix compare of
@@ -153,12 +170,28 @@ def jaro_winkler_batch(
     return np.where(identical, 1.0, out)
 
 
-@F.pandas_udf(T.DoubleType())
-def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched, numpy-vectorized JW over two string columns
-    (case-folded): no per-pair Python in the rescue hot path."""
-    return pd.Series(
-        jaro_winkler_batch(
-            [(x or "").lower() for x in a], [(y or "").lower() for y in b]
+def make_jaro_winkler_udf(
+    p: float = 0.1, max_prefix: int = 4, boost_threshold: float = 0.0
+):
+    """Parameterized Arrow-batched JW UDF factory. boost_threshold=0.7
+    reproduces the classic Winkler gate (DuckDB jaro_winkler_similarity
+    parity — pinned by the jw_similarity oracle row); the rescue default
+    stays 0.0 (always boost) for smooth near-threshold degradation."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            jaro_winkler_batch(
+                [(x or "").lower() for x in a],
+                [(y or "").lower() for y in b],
+                p=p,
+                max_prefix=max_prefix,
+                boost_threshold=boost_threshold,
+            )
         )
-    )
+
+    return _udf
+
+
+# default instance used by the rescue hot path (case-folded, always-boost)
+jaro_winkler_udf = make_jaro_winkler_udf()

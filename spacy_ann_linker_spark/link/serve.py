@@ -18,9 +18,12 @@ reference handler:
     loop (app.py:71-74) misaligns ids when char_span() drops a span — a
     bug we do not reproduce (ids are matched back by (start, end)).
   * `similarity_threshold` (default 0.65, app.py:42) is forwarded to the
-    linker's threshold; in the reference it mutates cg.threshold while the
-    0.7 ann_linker threshold still gates — a near-no-op quirk (SURVEY F4/F5
-    notes).
+    linker's threshold and INTENTIONALLY DIVERGES: here the requested
+    threshold is honored. In the reference the request value mutates
+    cg.threshold (app.py:68) which `_require_candidates` then never reads —
+    the hardcoded 0.7 ann_linker threshold still gates (ann_linker.py:82),
+    so the REST knob is a documented no-op there (BASELINE.md quirk list;
+    SURVEY F4/F5 notes). We preserve the parameter surface, not the bug.
 """
 
 from __future__ import annotations

@@ -188,3 +188,52 @@ def test_memo_scope_isolates_concurrent_callers(spark):
     assert out.get() == ("inside", 1)
     assert out.get() == ("after", True)
     assert release_memos() == 1  # the global one
+
+
+def test_remote_client_pipe_rezips_ids(spark):
+    """RemoteAnnLinker client parity (remote_ann_linker.py:95-143): batched
+    POSTs, ids re-zipped IN PLACE onto the caller's spans (only when
+    truthy), and the reference's typed ValueError on HTTP error
+    envelopes."""
+    import pytest as _pytest
+
+    from spacy_ann_linker_spark.link.client import RemoteLinkerClient
+    from spacy_ann_linker_spark.link.serve import make_server
+    from spacy_ann_linker_spark.pipeline import build_golden_model
+
+    model = build_golden_model(spark, min_df=1)
+    server = make_server(spark, model, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = RemoteLinkerClient(f"http://127.0.0.1:{port}/link")
+        # the reference golden sentence, plus a doc whose span can't link
+        docs = [
+            {
+                "spans": [
+                    {"text": "NLP", "start": 0, "end": 3, "label": "SKILL"},
+                    {"text": "researched", "start": 16, "end": 26, "label": "SKILL"},
+                    {"text": "Machine learning", "start": 37, "end": 53, "label": "SKILL"},
+                ],
+                "context": "NLP is a highly researched subset of Machine learning.",
+            },
+            {
+                "spans": [{"text": "zzqqy", "start": 0, "end": 5, "label": "SKILL"}],
+                "context": "zzqqy has no candidates whatsoever.",
+            },
+        ]
+        # batch_size=1 exercises the minibatch loop + per-batch re-zip
+        out = list(client.pipe(docs, batch_size=1))
+        assert out[0] is docs[0]  # ids applied in place, docs yielded through
+        ids = [s.get("id") for s in docs[0]["spans"]]
+        assert ids == ["a3", "a15", "a1"]
+        assert "id" not in docs[1]["spans"][0]  # falsy id never applied
+
+        # HTTP error envelope (unknown route -> 404) raises the reference's
+        # ValueError("Error in making request to the server.", e)
+        bad = RemoteLinkerClient(f"http://127.0.0.1:{port}/nosuch")
+        with _pytest.raises(ValueError, match="Error in making request"):
+            bad.link_batch([{"spans": [], "context": "x"}])
+    finally:
+        server.shutdown()

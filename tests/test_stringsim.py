@@ -68,3 +68,37 @@ def test_batch_textbook_and_edges():
     want = np.array([jaro_winkler(x, y) for x, y in zip(a, b)])
     assert np.allclose(got, want)
     assert got[3] == 1.0 and got[4] == 1.0 and got[5] == 0.0
+
+
+def test_jw_boost_threshold_matches_duckdb():
+    """boost_threshold=0.7 must reproduce DuckDB's jaro_winkler_similarity
+    exactly (the jw_similarity oracle row depends on it). The only pinned
+    divergence: two empty strings (identity short-circuit 1.0 here, 0.0 in
+    DuckDB)."""
+    import random
+
+    import duckdb
+
+    from spacy_ann_linker_spark.functions.stringsim import (
+        jaro_winkler,
+        jaro_winkler_batch,
+    )
+
+    con = duckdb.connect()
+    rng = random.Random(11)
+
+    def rnd():
+        return "".join(rng.choice("abcdeab x") for _ in range(rng.randint(1, 14)))
+
+    pa, pb = zip(*[(rnd(), rnd()) for _ in range(500)])
+    batch = jaro_winkler_batch(list(pa), list(pb), boost_threshold=0.7)
+    for s1, s2, got in zip(pa, pb, batch):
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [s1, s2]
+        ).fetchone()[0]
+        assert abs(got - want) < 1e-12, (s1, s2, got, want)
+        assert abs(jaro_winkler(s1, s2, boost_threshold=0.7) - want) < 1e-12
+
+    # default (boost always) differs from the gated convention only below
+    # the gate: spot-check the canonical pair
+    assert jaro_winkler("NLP", "NPL") > jaro_winkler("NLP", "NPL", boost_threshold=0.7)

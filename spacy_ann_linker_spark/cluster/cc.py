@@ -55,14 +55,34 @@ def _checksum(edges: DataFrame) -> tuple:
     return (row["n"], row["s"])
 
 
-def connected_components_long(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def connected_components_long(
+    edges: DataFrame, max_iter: int = 30, checkpoint_dir: str | None = None
+) -> DataFrame:
     """edges(src, dst) of any single orderable type, undirected ->
     (node, component) where component = min node id reachable. The star
     alternation only needs min/least/greatest, so it runs unchanged on longs
     OR strings — string node ids stay strings (no 64-bit hash whose birthday
-    collisions would silently merge unrelated clusters at ~4x10^9 nodes)."""
+    collisions would silently merge unrelated clusters at ~4x10^9 nodes).
+
+    checkpoint_dir: per-round lineage cuts go through a RELIABLE parquet
+    write+read under this directory instead of localCheckpoint.
+    localCheckpoint blocks are unreplicated executor memory — one executor
+    loss anywhere in the O(log^2 n) rounds fails the whole run; the parquet
+    round tables re-read after any failure, which is the right trade at
+    1000-executor scale (CC rounds are edge-set-sized sequential barriers
+    anyway, so the write adds no extra shuffle). Files persist until the
+    caller removes the directory."""
+    spark = edges.sparkSession
+
+    def _cut(df: DataFrame, rnd: int) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{checkpoint_dir.rstrip('/')}/cc_round_{rnd}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = _cut(e, 0)
 
     # size each round's MATERIALIZED output (the localCheckpoint block
     # count) to the edge count — target ~500k edges per partition, capped at
@@ -74,17 +94,12 @@ def connected_components_long(edges: DataFrame, max_iter: int = 30) -> DataFrame
     # tasks, WITHOUT mutating session-global conf (which would leak the
     # clamped value into any concurrent job on the same session — streaming
     # micro-batches, parallel checkpoint stages).
-    spark = e.sparkSession
     n0 = e.count()
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     parts = max(4, min(session_parts, n0 // 500_000 + 4))
     prev = None
-    for _ in range(max_iter):
-        e = (
-            _small_star(_large_star(e))
-            .repartition(parts, "src")
-            .localCheckpoint(eager=True)
-        )
+    for i in range(max_iter):
+        e = _cut(_small_star(_large_star(e)).repartition(parts, "src"), i + 1)
         cur = _checksum(e)
         if cur == prev:
             break
@@ -95,7 +110,13 @@ def connected_components_long(edges: DataFrame, max_iter: int = 30) -> DataFrame
     return members.union(roots).distinct()
 
 
-def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """String-keyed CC: edges over string node ids ->
     (node string, component string) where component = lexicographic-min
     reachable node id. Runs the alternation DIRECTLY on the strings — no
@@ -106,4 +127,5 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
     return connected_components_long(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
         max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
     ).select(F.col("node").cast("string").alias("node"), F.col("component").cast("string").alias("component"))

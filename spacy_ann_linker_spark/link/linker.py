@@ -93,8 +93,21 @@ def memo_scope():
         _release_list(memos)
 
 
-def _materialize_memo(df: DataFrame, truncate: bool) -> DataFrame:
+def _materialize_memo(
+    df: DataFrame, truncate: bool, reliable_dir: str | None = None
+) -> DataFrame:
     """Materialize a memo table eagerly; optionally cut its lineage first.
+
+    reliable_dir (the documented localCheckpoint swap point below): when
+    set, the memo is WRITTEN to parquet under a unique subdirectory and read
+    back instead of localCheckpoint — lineage is cut the same way, but the
+    materialized bytes live in the (replicated / re-readable) filesystem
+    rather than unreplicated executor block storage, so an executor loss
+    recomputes from the files instead of failing the query. Costs one
+    write+read round trip per memo; memos are distinct-mention-sized, so at
+    1000-executor scale this is the safe default and the in-memory paths are
+    the latency optimization. The parquet files persist until the caller
+    removes reliable_dir (pass a per-job temp/working dir).
 
     persist()+count() (truncate=False) is the default: columnar cache +
     measured-size stats, so Catalyst keeps broadcasting the memo into the
@@ -115,10 +128,16 @@ def _materialize_memo(df: DataFrame, truncate: bool) -> DataFrame:
     Cluster note: localCheckpoint blocks are unreplicated — an executor loss
     mid-job fails the query instead of recomputing. For a 1000-executor run
     either accept the retry (memos are distinct-mention-sized and cheap to
-    rebuild) or swap for `df.checkpoint()` with a reliable checkpoint dir /
-    an explicit write-to-table (same swap point as plans/checkpoint.py
-    documents for Iceberg)."""
-    if truncate:
+    rebuild) or pass reliable_dir — the explicit write-to-table swap this
+    docstring previously only pointed at (same swap point as
+    plans/checkpoint.py documents for Iceberg)."""
+    if reliable_dir is not None:
+        import uuid
+
+        path = f"{reliable_dir.rstrip('/')}/memo_{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(path)
+        df = df.sparkSession.read.parquet(path)
+    elif truncate:
         df = df.localCheckpoint(eager=True)
     out = df.persist()
     out.count()
@@ -151,6 +170,7 @@ def best_aliases(
     rescue_salt_buckets: int = 16,
     truncate_memos: bool | None = None,
     broadcast_exact_aliases: bool = True,
+    memo_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(text, alias, similarity) — best surviving alias per distinct mention
     string (T2: `alias_candidates[0]` after the strict-> threshold filter).
@@ -198,7 +218,9 @@ def best_aliases(
     # truncate_memos=True)
     if truncate_memos is None:
         truncate_memos = use_blocking
-    best = _materialize_memo(best, truncate=truncate_memos)
+    best = _materialize_memo(
+        best, truncate=truncate_memos, reliable_dir=memo_checkpoint_dir
+    )
 
     from spacy_ann_linker_spark.functions.stringsim import jaro_winkler_udf
 
@@ -311,8 +333,14 @@ def link_mentions(
     dim: int = 64,
     broadcast_exact_aliases: bool = True,
     broadcast_entity_vectors: bool = True,
+    memo_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """mentions (MENTION_SCHEMA) + turns (TRANSCRIPT_SCHEMA) -> links.
+
+    memo_checkpoint_dir: route every memo materialization through a
+    RELIABLE parquet write+read instead of localCheckpoint/cache-only (see
+    _materialize_memo) — an executor loss then recomputes from files rather
+    than failing the query; recommended for 1000-executor runs.
 
     word_vectors_table: optional `(token, vector)` table — context embedding
     runs as the pure-JVM table-backed mean-pool (see context_vectors). With
@@ -361,8 +389,10 @@ def link_mentions(
             broadcast_rescue_aliases=broadcast_rescue_aliases,
             truncate_memos=truncate_memos,
             broadcast_exact_aliases=broadcast_exact_aliases,
+            memo_checkpoint_dir=memo_checkpoint_dir,
         ),
         truncate=use_blocking if truncate_memos is None else truncate_memos,
+        reliable_dir=memo_checkpoint_dir,
     )
 
     # J6 alias -> entity expansion with uniform priors

@@ -105,3 +105,75 @@ def test_snapshot_change_invalidates(spark, tmp_path):
     commits = [r for r in cm.lineage().collect() if r["event"] == "commit"]
     # kb_entities depends on snapshot -> recommitted; chain invalidates all
     assert len(commits) == 12
+
+
+def test_reliable_memo_checkpoint_survives_cache_loss(spark, tmp_path, golden_model):
+    """VERDICT r3 item 5: with memo_checkpoint_dir set, every memo
+    materializes through a reliable parquet write+read — the link output is
+    identical to the in-memory path, and invalidating every cached block
+    mid-plan (the executor-loss stand-in: localCheckpoint blocks die with
+    their executor, parquet files do not) still completes with the same
+    rows."""
+    from pyspark.sql import functions as F
+
+    from spacy_ann_linker_spark.data.transcripts import generate_transcripts
+    from spacy_ann_linker_spark.link.linker import memo_scope
+    from spacy_ann_linker_spark.mentions.extract import extract_mentions
+    from spacy_ann_linker_spark.pipeline import link_transcripts
+
+    turns = generate_transcripts(spark, 64)
+    mentions = extract_mentions(turns, ["Research", "ML", "NLP"])
+
+    def keyed(rows):
+        return {
+            (r["conv_id"], r["turn_idx"], r["mention_id"], r["alias"], r["entity_id"])
+            for r in rows
+        }
+
+    with memo_scope():
+        base = keyed(
+            link_transcripts(
+                golden_model, turns, mentions=mentions, fuzzy_rescue=True
+            ).collect()
+        )
+
+    ckpt = str(tmp_path / "memos")
+    with memo_scope():
+        links = link_transcripts(
+            golden_model,
+            turns,
+            mentions=mentions,
+            fuzzy_rescue=True,
+            memo_checkpoint_dir=ckpt,
+        )
+        first = keyed(links.collect())
+        # kill every cached block, then re-collect: the plan must rebuild
+        # from the reliable parquet memos, not from lost cache
+        spark.catalog.clearCache()
+        again = keyed(links.collect())
+    assert base == first == again
+    import os
+
+    assert any(d.startswith("memo_") for d in os.listdir(ckpt))
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """connected_components(checkpoint_dir=...) cuts per-round lineage via
+    parquet round tables (re-readable after executor loss) and returns the
+    same components as the localCheckpoint path."""
+    from spacy_ann_linker_spark.cluster.cc import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f"), ("g", "h"), ("h", "a")],
+        "src string, dst string",
+    )
+    local = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    ckpt = str(tmp_path / "cc")
+    reliable = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert local == reliable
+    import os
+
+    assert any(d.startswith("cc_round_") for d in os.listdir(ckpt))

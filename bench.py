@@ -221,6 +221,60 @@ def run_bench(cpus: int) -> dict:
         _noop(queries[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # crossover evidence (VERDICT r3 item 7): exact vs blocked at two turn
+    # counts as first-class JSON rows, not prose. BASELINE.md's claim — the
+    # blocked path reaches parity around ~1.6M turns and is the 100 TB
+    # default on variance grounds — must be reproducible from BENCH alone.
+    # Single-shot timings (the session is already steady-state from the
+    # headline legs; a second warmup per leg would double the cost of the
+    # 1.6M rows), truncate_memos=True at >= 1M turns per the r3 finding.
+    crossover: dict = {}
+    if not os.environ.get("SPARK_GRAFT_LINK_ONLY") and os.environ.get(
+        "SPARK_GRAFT_CROSSOVER", "1"
+    ) != "0":
+        from spacy_ann_linker_spark.link.linker import release_memos
+
+        sizes = [
+            int(x)
+            for x in os.environ.get(
+                "SPARK_GRAFT_CROSSOVER_TURNS", "100000,1600000"
+            ).split(",")
+        ]
+        for n in sizes:
+            path = f"/tmp/bench_transcripts_n{n}"
+            if not os.path.exists(path):
+                generate_full(spark, n).write.mode("overwrite").parquet(path)
+            full_n = spark.read.parquet(path)
+            turns_n = full_n.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            mentions_n = full_n.filter(F.col("mention").isNotNull()).select(
+                "conv_id",
+                "turn_idx",
+                F.xxhash64("conv_id", "turn_idx", "start").alias("mention_id"),
+                F.col("mention").alias("text"),
+                "start",
+                "end",
+                F.lit(None).cast("string").alias("label"),
+            )
+            row: dict = {}
+            for label, blocked_flag in (("exact", False), ("blocked", True)):
+                release_memos()
+                t0 = time.perf_counter()
+                _noop(
+                    link_transcripts(
+                        model,
+                        turns_n,
+                        mentions=mentions_n,
+                        fuzzy_rescue=True,
+                        use_blocking=blocked_flag,
+                        truncate_memos=True if n >= 1_000_000 else None,
+                    )
+                )
+                sec = time.perf_counter() - t0
+                row[f"{label}_sec"] = round(sec, 3)
+                row[f"{label}_turns_per_sec"] = round(n / sec, 1)
+            release_memos()
+            crossover[f"n{n}"] = row
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "bench_suite_seconds",
@@ -238,6 +292,7 @@ def run_bench(cpus: int) -> dict:
         "precision": round(f1["precision"], 4),
         "recall": round(f1["recall"], 4),
         **blocked,
+        **({"crossover": crossover} if crossover else {}),
     }
 
 

@@ -241,3 +241,59 @@ def test_unigram_logprob_matches_numpy(spark):
     got2 = {r["doc_id"]: (r["n_words"], r["logprob"])
             for r in unigram_logprob(df, "doc_id", "text", broadcast_vocab=False).collect()}
     assert got == got2
+
+
+def test_kmeans_centroids_beat_seeded_on_clustered_data(spark):
+    """VERDICT r3 item 8: KMeans|| centroids (fit_centroids) vs the id-seeded
+    pick. The honest comparison needs data WITH cluster structure and
+    ingestion-ordered ids (real embedding corpora: id order correlates with
+    content, so "the n smallest ids" all land in one region — the exact
+    distribution-blindness being fixed). There kmeans must win on BOTH
+    recall at fixed nprobe and bucket balance. On the bench embedding set
+    (uniform random, no structure — the degenerate case) neither method has
+    an advantage; seeded stays the oracle default for SQL replayability."""
+    import numpy as np
+
+    from spacy_ann_linker_spark.extras.similarity_search import (
+        IvfIndex,
+        build_ivf_index,
+        cosine_topk,
+        fit_centroids,
+        ivf_assign,
+        ivf_topk_indexed,
+        seeded_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 32)) * 3
+    # ids 0..74 are all cluster 0, 75..149 cluster 1, ... (ingestion order)
+    vecs = [(i, (centers[i // 75] + rng.normal(size=32)).tolist()) for i in range(600)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 75 < 3)  # queries spread over clusters
+    truth = {(r["query_id"], r["item_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+
+    def stats(cents):
+        asn = ivf_assign(emb, cents)
+        sizes = [r["count"] for r in asn.groupBy("centroid_id").count().collect()]
+        idx = IvfIndex(centroids=cents, assigned=asn)
+        got = {
+            (r["query_id"], r["item_id"])
+            for r in ivf_topk_indexed(idx, q, nprobe=2, k=5).collect()
+        }
+        return len(got & truth) / len(truth), max(sizes)
+
+    r_seeded, max_seeded = stats(seeded_centroids(emb, 8))
+    r_kmeans, max_kmeans = stats(fit_centroids(emb, 8))
+    assert r_kmeans > r_seeded, (r_kmeans, r_seeded)
+    assert max_kmeans < max_seeded, (max_kmeans, max_seeded)
+    assert r_kmeans == 1.0  # all true neighbors found at nprobe 2 of 8
+
+    # determinism: same seed -> same centroids
+    a = fit_centroids(emb, 8).collect()
+    b = fit_centroids(emb, 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="centroid_method"):
+        build_ivf_index(emb, n_centroids=8, centroid_method="bogus")

@@ -216,6 +216,8 @@ def run_bench(cpus: int) -> dict:
         "split_train_val_test",
         "pack_doc_sequences",
         "a4b_mean_pool_table",
+        "jw_similarity",
+        "ann_ivf_topk",
     ]:
         t0 = time.perf_counter()
         _noop(queries[name](spark, SF_DIR))

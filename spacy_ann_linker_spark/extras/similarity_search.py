@@ -348,11 +348,22 @@ def ivf_topk_indexed(
     nprobe: int = 4,
     k: int = 5,
     id_col: str = "vec_id",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Query a prebuilt IvfIndex: probe the nprobe nearest centroid buckets
-    per query, exact cosine within. nprobe == n_centroids is exact."""
+    per query, exact cosine within. nprobe == n_centroids is exact.
+
+    broadcast_probes (default True): the probe table (queries x nprobe rows,
+    batch-sized) broadcasts so the probe join runs map-side against the
+    assigned table WHERE IT SITS. The alternative — shuffling on
+    centroid_id — hashes the 10^10-row assigned table into only C distinct
+    keys, collapsing the whole corpus onto C reducers. Set False only for
+    huge offline query batches, ideally with the assigned table
+    pre-bucketed by centroid_id."""
     vec_col = index.vec_col
     probes = _probe_centroids(queries, index.centroids, nprobe, id_col, vec_col)
+    if broadcast_probes:
+        probes = F.broadcast(probes)
     scored = (
         probes.join(index.assigned, "centroid_id")
         .filter(F.col("item_id") != F.col("q_id"))

@@ -181,3 +181,31 @@ def test_ivf_assign_is_pure_projection_no_sort_window(spark):
             key=lambda c: (-float(v @ cents[c] / (np.linalg.norm(v) * np.linalg.norm(cents[c]) + 1e-12)), c),
         )
         assert got[vid] == best
+
+
+def test_ivf_probe_join_broadcasts_probe_side(spark):
+    """The probe join must broadcast the batch-sized probe table: shuffling
+    instead would hash the whole assigned corpus into only n_centroids
+    distinct keys (C reducers carry everything). broadcast_probes=False is
+    the documented huge-offline-batch escape hatch and must return the same
+    rows."""
+    from pyspark.sql import functions as F
+
+    from spacy_ann_linker_spark.extras.similarity_search import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    idx = build_ivf_index(emb, n_centroids=8)
+    on = ivf_topk_indexed(idx, q, nprobe=4, k=3)
+    plan = _plan(on)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+    def key(df):
+        return {(r["query_id"], r["rank"]): r["item_id"] for r in df.collect()}
+
+    assert key(on) == key(ivf_topk_indexed(idx, q, nprobe=4, k=3, broadcast_probes=False))

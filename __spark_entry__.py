@@ -492,6 +492,25 @@ def _q_salted_group_count(spark, sf_dir):
     return salted_count_by_key(ev, "user_id", salt_buckets=16)
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    """Brute-force embedding-cosine near-dup pairs (extras/dedup.py) — the
+    exact ground truth the hyperplane-LSH scale path is validated against in
+    tests; threshold 0.3 sits inside the synthetic embeddings' cosine range
+    (uniform-random vectors peak at ~0.46)."""
+    from spacy_ann_linker_spark.extras.dedup import embedding_neardup_pairs
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 300)
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+    )
+    return embedding_neardup_pairs(emb, threshold=0.3).select(
+        "id_a", "id_b", F.round("cosine", R).alias("cosine")
+    )
+
+
 def _q_jw_similarity(spark, sf_dir):
     """Jaro-Winkler over consecutive part-name pairs — the typo-rescue
     scoring function (link/linker.py fuzzy_rescue) pinned against DuckDB's
@@ -774,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_lite_revenue": _q_tpch_q3_lite,
         "rollup_revenue": _q_rollup_revenue,
         "salted_group_count": _q_salted_group_count,
+        "dedup_embedding_neardup": _q_embedding_neardup,
         "jw_similarity": _q_jw_similarity,
         "prefix_block_pairs": _q_prefix_block_pairs,
         "event_time_window": _q_event_time_window,
@@ -1324,6 +1344,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_group_count": """
         SELECT user_id, count(*) AS count FROM events GROUP BY user_id
+        """,
+        "dedup_embedding_neardup": f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_dcos('a.v', 'b.v')}, 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_dcos('a.v', 'b.v')} > 0.3
         """,
         "jw_similarity": """
         SELECT a.p_partkey AS id_a,

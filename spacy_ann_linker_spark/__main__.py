@@ -56,6 +56,9 @@ def cmd_link(args) -> int:
         use_blocking=args.blocking,
         max_gram_df=args.max_gram_df,
         truncate_memos=True if args.truncate_memos else None,
+        broadcast_exact_aliases=not args.no_broadcast,
+        broadcast_entity_vectors=not args.no_broadcast,
+        memo_checkpoint_dir=args.memo_checkpoint_dir,
     )
     links.write.mode("overwrite").parquet(args.output)
     print(f"link: {spark.read.parquet(args.output).count()} links -> {args.output}")
@@ -127,6 +130,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="LSH+prefix blocked candidate path (bounded at any scale)")
     lk.add_argument("--max-gram-df", type=int, default=None, dest="max_gram_df",
                     help="prune ngrams with df above this from the exact cosine join")
+    lk.add_argument("--no-broadcast", action="store_true", dest="no_broadcast",
+                    help="shuffle fallbacks for the exact-alias and "
+                         "entity-vector dimension joins (gazetteers too "
+                         "big to broadcast; identical results)")
+    lk.add_argument("--memo-checkpoint-dir", default=None, dest="memo_checkpoint_dir",
+                    help="materialize memos via reliable parquet "
+                         "write+read under this dir instead of "
+                         "localCheckpoint (executor-loss-safe)")
     lk.add_argument("--truncate-memos", action="store_true", dest="truncate_memos",
                     help="force memo lineage truncation (recommended >= 1M turns; "
                          "the blocked path truncates by default)")

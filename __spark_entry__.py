@@ -400,6 +400,22 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_session_windows(spark, sf_dir):
+    """Spark-native session_window gap sessions (the streaming-capable form
+    of sessionize_events; a >= gap_minutes gap breaks, end = last + gap)."""
+    from spacy_ann_linker_spark.extras.sessionize import session_windows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_windows(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events",
+        F.round("total_value", R).alias("total_value"),
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     from spacy_ann_linker_spark.extras.sessionize import session_stats
 
@@ -788,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": _q_scrub,
         "text_repetition": _q_repetition,
         "sessionize_events": _q_sessionize,
+        "session_windows": _q_session_windows,
         "cc_components": _q_cc,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_q3_lite_revenue": _q_tpch_q3_lite,
@@ -1292,6 +1309,29 @@ def oracle_sql() -> dict[str, str]:
                round((len(grams) - len(list_distinct(grams))) * 1.0
                      / greatest(len(grams), 1), 6) AS rep_ratio
         FROM g
+        """,
+        "session_windows": """
+        WITH e AS (
+          SELECT user_id, value, ts::TIMESTAMP AS t FROM events
+        ), g AS (
+          SELECT user_id, t, value,
+                 CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w >= INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS brk
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY t ASC)
+        ), s AS (
+          SELECT user_id, t, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY t ASC
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g
+        )
+        SELECT user_id,
+               min(t)::VARCHAR AS session_start,
+               (max(t) + INTERVAL '30 minutes')::VARCHAR AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM s GROUP BY user_id, sid
         """,
         "sessionize_events": """
         WITH e AS (

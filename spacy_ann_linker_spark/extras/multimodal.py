@@ -105,6 +105,49 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(op, schema=_FEATURE_SCHEMA)
 
 
+_RESIZE_SCHEMA = (
+    "media_id long, kind string, mime string, payload binary, "
+    "meta map<string,string>, width int, height int"
+)
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64, fake: bool = True) -> DataFrame:
+    """Image-resize stub: MEDIA_SCHEMA in -> MEDIA_SCHEMA + (width, height)
+    out, images only, payload REPLACED by the resized encoding — the exact
+    in/out shape of a real PIL/cv2 resize stage in a training-data pipeline
+    (non-image rows are filtered upstream of the Python stage, so the UDF
+    only ever sees work it must do). Arrow-batched mapInPandas; payload
+    bytes never pass through the driver.
+
+    fake=True derives the "resized" payload deterministically from the
+    source bytes + target size (blake2b keyed stream of width*height/16
+    bytes — output size scales with the requested resolution like a real
+    thumbnail would); fake=False raises NotImplementedError where the
+    PIL/cv2 call belongs (no image libs in this container)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL/cv2 — not in this container"
+                )
+            n_out = max(16, width * height // 16)
+            out_payloads = []
+            for p in pdf["payload"]:
+                src = bytes(p or b"")
+                h = hashlib.blake2b(
+                    src, digest_size=32, person=f"{width}x{height}"[:16].encode()
+                ).digest()
+                out_payloads.append((h * (n_out // 32 + 1))[:n_out])
+            out = pdf.copy()
+            out["payload"] = out_payloads
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.filter(F.col("kind") == "image").mapInPandas(op, schema=_RESIZE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling stub: emits (media_id, frame_idx) rows for
     videos — the explode shape of a real ffmpeg frame extractor."""

@@ -51,3 +51,35 @@ def topk_per_group(
     """T1 generalized: row_number <= k per group, deterministic tie-break."""
     w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(tiebreak_col))
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def session_windows(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap sessions via Spark's native `session_window` — the
+    streaming-capable form of `sessionize`: under Structured Streaming the
+    same expression runs with a watermark as a stateful session aggregation
+    (no per-user sort window, which streaming cannot do). Batch semantics:
+    events of one user merge while each is < gap from the session's end; a
+    gap >= gap_minutes starts a new session; session_end = last event +
+    gap.
+    -> (user, session_start, session_end, n_events, total_value)"""
+    sw = F.session_window(F.col(ts_col).cast("timestamp"), f"{gap_minutes} minutes")
+    return (
+        events.groupBy(F.col(user_col), sw.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -183,3 +183,39 @@ def entity_counts_windowed(
         .agg(F.count(F.lit(1)).alias("n_mentions"))
         .select(F.col("w.start").alias("window_start"), "entity_id", "n_mentions")
     )
+
+
+def session_stats_stream(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked stateful session aggregation — the Structured Streaming
+    form of extras/sessionize.session_windows. session_window is a native
+    stateful operator: per-user open sessions live in the state store, merge
+    as events arrive, and emit (append mode) once the watermark passes their
+    end; late events beyond the watermark drop. No per-user sort window —
+    the shape the lag/cumsum batch sessionizer cannot take on a stream.
+    Batch-vs-stream agreement is asserted in tests (emitted sessions equal
+    the batch operator's rows for every watermark-finalized session)."""
+    wm = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+    sw = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+    return (
+        wm.groupBy(F.col(user_col), sw.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

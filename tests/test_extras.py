@@ -297,3 +297,73 @@ def test_kmeans_centroids_beat_seeded_on_clustered_data(spark):
 
     with _pytest.raises(ValueError, match="centroid_method"):
         build_ivf_index(emb, n_centroids=8, centroid_method="bogus")
+
+
+def test_resize_images_stub(spark):
+    """Resize stub: images only, payload replaced by a deterministic
+    size-scaled fake, metadata carried through, real path raises."""
+    import pytest as _pytest
+
+    from spacy_ann_linker_spark.extras.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 30)
+    out = resize_images(media, width=32, height=32).collect()
+    src_images = {r["media_id"] for r in media.filter("kind = 'image'").collect()}
+    assert {r["media_id"] for r in out} == src_images
+    n_out = max(16, 32 * 32 // 16)
+    for r in out:
+        assert r["kind"] == "image"
+        assert (r["width"], r["height"]) == (32, 32)
+        assert len(r["payload"]) == n_out
+    # deterministic run to run; payload scales with requested resolution
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 32, 32).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == again
+    bigger = resize_images(media, 128, 128).first()
+    assert len(bigger["payload"]) == max(16, 128 * 128 // 16)
+
+    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_images(media, fake=False).collect()
+
+
+def test_session_windows_matches_lag_sessionize(spark):
+    """session_window (streaming-capable native form) must produce exactly
+    the sessions the lag/cumsum sessionize derives: same event partition per
+    user (boundary semantics: a gap >= gap_minutes breaks; session_end =
+    last event + gap)."""
+    from spacy_ann_linker_spark.extras.sessionize import session_windows, sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sw = session_windows(ev, gap_minutes=30).collect()
+    # derive the same aggregate from the lag path with the >= boundary:
+    # sessionize uses > (strictly greater) so recompute groups directly
+    import collections
+
+    rows = sorted(
+        ev.select("user_id", F.col("ts").cast("timestamp").cast("long").alias("sec"), "value").collect(),
+        key=lambda r: (r["user_id"], r["sec"]),
+    )
+    sessions = collections.defaultdict(list)
+    for r in rows:
+        key = r["user_id"]
+        if sessions[key] and r["sec"] - sessions[key][-1][-1][0] < 1800:
+            sessions[key][-1].append((r["sec"], r["value"]))
+        else:
+            sessions[key].append([(r["sec"], r["value"])])
+    want = set()
+    for user, sess_list in sessions.items():
+        for sess in sess_list:
+            want.add((user, sess[0][0], sess[-1][0] + 1800, len(sess), round(sum(v for _, v in sess), 6)))
+    got = {
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()),
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in sw
+    }
+    assert got == want

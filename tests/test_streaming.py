@@ -157,3 +157,64 @@ def test_windowed_counts(spark, golden_model, transcript_dir, patterns):
     # historical stream most windows finalize
     assert len(rows) > 0
     assert all(r["n_mentions"] >= 1 for r in rows)
+
+
+def test_session_stats_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window aggregation (watermark + state store, append
+    mode) must emit exactly the batch session_windows rows for every
+    session the watermark finalized — and with a bounded historical stream
+    that is every session except possibly each user's last."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spacy_ann_linker_spark.extras.sessionize import session_windows
+    from spacy_ann_linker_spark.streaming.link_stream import session_stats_stream
+
+    import os
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    stream_dir = str(tmp_path / "events_stream")
+    os.makedirs(stream_dir)
+    if os.path.isdir(src):
+        for f in os.listdir(src):
+            shutil.copy(os.path.join(src, f), stream_dir)
+    else:
+        shutil.copy(src, stream_dir)
+    batch_df = spark.read.parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema).option("maxFilesPerTrigger", "1").parquet(stream_dir)
+    )
+    out = session_stats_stream(stream, gap_minutes=30, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def key(rows):
+        return {
+            (
+                r["user_id"],
+                r["session_start"],
+                r["session_end"],
+                r["n_events"],
+                round(r["total_value"], 6),
+            )
+            for r in rows
+        }
+
+    streamed = key(spark.sql("SELECT * FROM sessions_stream").collect())
+    batch = key(session_windows(batch_df, gap_minutes=30).collect())
+    n_users = batch_df.select("user_id").distinct().count()
+    assert streamed <= batch  # append mode: only finalized sessions emit
+    # everything the watermark passed must have emitted: at most one open
+    # (unfinalized) session per user can be missing
+    assert len(batch) - len(streamed) <= n_users
+    assert len(streamed) > 0

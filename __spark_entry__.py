@@ -400,6 +400,12 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_token_count_bpe(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.text_analysis import token_count_bpe
+
+    return token_count_bpe(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _q_session_windows(spark, sf_dir):
     """Spark-native session_window gap sessions (the streaming-capable form
     of sessionize_events; a >= gap_minutes gap breaks, end = last + gap)."""
@@ -798,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "text_token_count": _q_token_count,
+        "text_token_count_bpe": _q_token_count_bpe,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -1309,6 +1316,12 @@ def oracle_sql() -> dict[str, str]:
                round((len(grams) - len(list_distinct(grams))) * 1.0
                      / greatest(len(grams), 1), 6) AS rep_ratio
         FROM g
+        """,
+        "text_token_count_bpe": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                 '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_tokens_bpe
+        FROM documents
         """,
         "session_windows": """
         WITH e AS (

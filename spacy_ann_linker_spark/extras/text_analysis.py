@@ -181,3 +181,26 @@ def unigram_logprob(
             F.avg(F.log10(F.col("c") / F.col("t"))).alias("logprob"),
         )
     )
+
+
+# GPT-2-style pre-tokenizer alternation, RE2-SAFE: the upstream pattern's
+# trailing-space lookahead (`\s+(?!\S)`) is dropped because RE2 (DuckDB)
+# has no lookahead — runs of spaces tokenize as one whitespace token
+# instead of splitting the final pre-word space. Leftmost-first alternation
+# agrees between Java regex (Spark) and RE2 (DuckDB); verified value-exact
+# cross-engine on the corpus.
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens_bpe) — subword-style token count via the GPT-2-ish
+    pre-tokenizer regex (the training-data-pipeline budget metric: context
+    windows are filled in BPE tokens, not whitespace words; this
+    pre-tokenization upper-bounds true BPE count at ~1 merge-free token per
+    piece and tracks it closely for budgeting). Pure JVM regexp — no UDF."""
+    return df.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+        ).alias("n_tokens_bpe"),
+    )

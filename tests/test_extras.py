@@ -367,3 +367,36 @@ def test_session_windows_matches_lag_sessionize(spark):
         for r in sw
     }
     assert got == want
+
+
+def test_token_count_bpe_reasonable_and_jvm(spark):
+    """BPE-ish pre-tokenizer count: pure JVM (no Python nodes), counts
+    >= whitespace token count (punctuation and contractions split), exact
+    python-re parity on a sample."""
+    import re
+
+    from spacy_ann_linker_spark.extras.text_analysis import (
+        BPE_SPLIT_PATTERN,
+        token_count,
+        token_count_bpe,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bpe = token_count_bpe(docs, "doc_id", "text")
+    plan = bpe._sc._jvm.PythonSQLUtils.explainString(bpe._jdf.queryExecution(), "formatted")
+    assert "Python" not in plan
+    ws = {r["doc_id"]: r["n_tokens"] for r in token_count(docs, "doc_id", "text").collect()}
+    got = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe.collect()}
+    assert all(got[k] >= ws[k] for k in ws)
+    # python `regex`-free re supports \p via... it does NOT — emulate with
+    # the java-compatible classes using re.UNICODE-compatible rewrite
+    pat = re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+"
+    )
+    sample = {r["doc_id"]: r["text"] for r in docs.limit(50).collect()}
+    for k, t in sample.items():
+        # the rewrite differs from \p classes only on exotic unicode; the
+        # synthetic corpus is ASCII, where both are exact
+        assert got[k] == len(pat.findall(t or "")), k

@@ -83,6 +83,22 @@ def generate_only(n_turns: int) -> None:
     spark.stop()
 
 
+def _gold_mentions(full):
+    """Gold-span mention projection shared by the headline and crossover
+    legs (one definition so both time the same input shape)."""
+    from pyspark.sql import functions as F
+
+    return full.filter(F.col("mention").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.xxhash64("conv_id", "turn_idx", "start").alias("mention_id"),
+        F.col("mention").alias("text"),
+        "start",
+        "end",
+        F.lit(None).cast("string").alias("label"),
+    )
+
+
 def run_bench(cpus: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -117,15 +133,7 @@ def run_bench(cpus: int) -> dict:
 
     # headline: link + cluster
     turns = full.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-    mentions = full.filter(F.col("mention").isNotNull()).select(
-        "conv_id",
-        "turn_idx",
-        F.xxhash64("conv_id", "turn_idx", "start").alias("mention_id"),
-        F.col("mention").alias("text"),
-        "start",
-        "end",
-        F.lit(None).cast("string").alias("label"),
-    )
+    mentions = _gold_mentions(full)
     # one full-size UNTIMED pass first: JVM JIT, codegen, python UDF worker
     # spin-up, broadcast materialization. Measured: the first full link runs
     # 2-3x slower and burns 3x the CPU of every subsequent identical run.
@@ -248,15 +256,7 @@ def run_bench(cpus: int) -> dict:
                 generate_full(spark, n).write.mode("overwrite").parquet(path)
             full_n = spark.read.parquet(path)
             turns_n = full_n.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-            mentions_n = full_n.filter(F.col("mention").isNotNull()).select(
-                "conv_id",
-                "turn_idx",
-                F.xxhash64("conv_id", "turn_idx", "start").alias("mention_id"),
-                F.col("mention").alias("text"),
-                "start",
-                "end",
-                F.lit(None).cast("string").alias("label"),
-            )
+            mentions_n = _gold_mentions(full_n)
             row: dict = {}
             for label, blocked_flag in (("exact", False), ("blocked", True)):
                 release_memos()

@@ -58,6 +58,7 @@ def cmd_link(args) -> int:
         truncate_memos=True if args.truncate_memos else None,
         broadcast_exact_aliases=not args.no_broadcast,
         broadcast_entity_vectors=not args.no_broadcast,
+        broadcast_rescue_aliases=not args.no_broadcast,
         memo_checkpoint_dir=args.memo_checkpoint_dir,
     )
     links.write.mode("overwrite").parquet(args.output)
@@ -131,9 +132,11 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--max-gram-df", type=int, default=None, dest="max_gram_df",
                     help="prune ngrams with df above this from the exact cosine join")
     lk.add_argument("--no-broadcast", action="store_true", dest="no_broadcast",
-                    help="shuffle fallbacks for the exact-alias and "
-                         "entity-vector dimension joins (gazetteers too "
-                         "big to broadcast; identical results)")
+                    help="shuffle fallbacks for ALL alias/entity "
+                         "dimension joins: exact-alias lookup, "
+                         "entity-vector attach, and the salted JW-rescue "
+                         "block join (gazetteers too big to broadcast; "
+                         "identical results)")
     lk.add_argument("--memo-checkpoint-dir", default=None, dest="memo_checkpoint_dir",
                     help="materialize memos via reliable parquet "
                          "write+read under this dir instead of "

@@ -15,7 +15,10 @@ def sessionize(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Assign session ids: a session breaks when the gap to the previous
-    event of the same user exceeds gap_minutes.
+    event of the same user exceeds gap_minutes (STRICTLY greater — an event
+    exactly gap_minutes after the previous one stays in the session; note
+    `session_windows` below inherits Spark's native >= break, so the two
+    split boundary-gap events differently).
     -> events + (session_seq int) where session_seq is 1-based per user."""
     # parquet NTZ timestamps don't cast straight to long; go via TIMESTAMP
     # (session TZ pinned UTC so this equals epoch seconds)

@@ -86,7 +86,11 @@ def link_documents(
                 "start": s.get("start"),
                 "end": s.get("end"),
                 "label": s.get("label"),
-                "id": by_span.get((f"d{i}", s.get("start"), s.get("end"))),
+                # int-coerce to match the linking keys: validation accepts
+                # coercible offsets ("0", 3.0) and linking coerces them too
+                "id": by_span.get(
+                    (f"d{i}", int(s.get("start", -1)), int(s.get("end", -1)))
+                ),
             }
             spans.append(rec)
         out.append({"spans": spans, "context": doc.get("context")})

@@ -152,8 +152,15 @@ _MATCHER_CACHE: dict[str, object] = {}
 
 # driver-side broadcast cache: one Spark broadcast per distinct pattern set,
 # reused across extract_mentions calls — a long-running serve process would
-# otherwise accumulate one broadcast per request until ContextCleaner GC
+# otherwise accumulate one broadcast per request until ContextCleaner GC.
+# All access goes through _BROADCAST_LOCK: LRU touches MUTATE the dict on
+# every hit, and concurrent /link handler threads (plus a streaming
+# micro-batch on the same driver) would otherwise race pop/insert.
+import threading as _threading
+
+_BROADCAST_LOCK = _threading.Lock()
 _BROADCAST_CACHE: dict[str, object] = {}
+_BROADCAST_CACHE_MAX = 64
 
 
 def _patterns_key(patterns: list[str], ci: bool, kind: str) -> str:
@@ -166,23 +173,25 @@ def _patterns_key(patterns: list[str], ci: bool, kind: str) -> str:
 
 def _get_pattern_broadcast(sc, patterns: list[str]):
     key = _patterns_key(patterns, False, "bc")
-    bc = _BROADCAST_CACHE.get(key)
-    if bc is None:
-        while len(_BROADCAST_CACHE) > 64:  # bound driver/executor memory:
-            # evict the LRU entry ONLY — clearing the whole cache would
-            # unpersist hot entries (and broadcasts referenced by in-flight
-            # queries on other threads), forcing executors to refetch every
-            # pattern set from the driver while the cache rebuilds from zero
-            old_key = next(iter(_BROADCAST_CACHE))
-            old = _BROADCAST_CACHE.pop(old_key)
+    with _BROADCAST_LOCK:
+        bc = _BROADCAST_CACHE.pop(key, None)
+        if bc is not None:
+            _BROADCAST_CACHE[key] = bc  # re-insert = mark most-recent (LRU)
+            return bc
+        while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+            # bound driver/executor memory by evicting the LRU entry ONLY —
+            # clearing the whole cache would unpersist hot entries (and
+            # broadcasts referenced by in-flight queries on other threads),
+            # forcing executors to refetch every pattern set from the driver
+            # while the cache rebuilds from zero
+            old = _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
             try:
                 old.unpersist()
             except Exception:
                 pass
-        bc = _BROADCAST_CACHE.setdefault(key, sc.broadcast(list(patterns)))
-    else:
-        _BROADCAST_CACHE[key] = _BROADCAST_CACHE.pop(key)  # mark most-recent
-    return bc
+        bc = sc.broadcast(list(patterns))
+        _BROADCAST_CACHE[key] = bc
+        return bc
 
 
 def extract_mentions(

@@ -66,6 +66,7 @@ def link_transcripts(
     dim: int = 64,
     broadcast_exact_aliases: bool = True,
     broadcast_entity_vectors: bool = True,
+    broadcast_rescue_aliases: bool = True,
     memo_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Link every mention in every turn to its KB entity.
@@ -94,6 +95,7 @@ def link_transcripts(
         dim=dim,
         broadcast_exact_aliases=broadcast_exact_aliases,
         broadcast_entity_vectors=broadcast_entity_vectors,
+        broadcast_rescue_aliases=broadcast_rescue_aliases,
         memo_checkpoint_dir=memo_checkpoint_dir,
     )
 

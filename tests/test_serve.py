@@ -241,3 +241,18 @@ def test_remote_client_pipe_rezips_ids(spark):
             bad.link_batch([{"spans": [], "context": "x"}])
     finally:
         server.shutdown()
+
+
+def test_coercible_string_offsets_link_and_rezip(spark):
+    """Offsets that int() accepts ('0', '3') must not only pass validation
+    and link — the response re-zip must find them too (review fix: the
+    lookup used raw client values against int link keys, returning id:null
+    for successfully-linked spans)."""
+    from spacy_ann_linker_spark.link.serve import link_documents
+    from spacy_ann_linker_spark.pipeline import build_golden_model
+
+    model = build_golden_model(spark, min_df=1)
+    docs = [{"spans": [{"text": "NLP", "start": "0", "end": "3", "label": "S"}],
+             "context": "NLP is fun"}]
+    out = link_documents(spark, model, docs)
+    assert out[0]["spans"][0]["id"] == "a3"

@@ -50,7 +50,14 @@ def cosine_topk(
     """Exact brute-force cosine top-k: for each query, the k nearest items
     (excluding itself). Queries are broadcast (small side); items stream.
     Vectors are dropped the moment the cosine is computed — the top-k rank
-    shuffle moves (q_id, item_id, cosine) rows only."""
+    shuffle moves (q_id, item_id, cosine) rows only.
+
+    Scale contract: this is the EXACT baseline for query batches small
+    enough to broadcast. There is deliberately no shuffle fallback here —
+    an un-broadcast exact all-pairs is a cartesian product whatever the
+    join strategy; batches too big to broadcast belong on the bucketed
+    paths (ivf_topk_indexed for top-k, embedding_lsh_neardup_pairs for
+    near-dup), which are linear in corpus + collisions."""
     it = _with_norm(items, id_col, vec_col, "item")
     q = _with_norm(queries, id_col, vec_col, "q")
     scored = (

@@ -514,6 +514,17 @@ def _q_salted_group_count(spark, sf_dir):
     return salted_count_by_key(ev, "user_id", salt_buckets=16)
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) local fingerprints — every w-window of k-gram hashes
+    contributes its rightmost minimum; detects any shared substring of
+    length >= k+w-1 at ~2/(w+1) the gram density. Pure in-row JVM."""
+    from spacy_ann_linker_spark.extras.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 200), "doc_id", "text", k=5, w=4
+    )
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """Brute-force embedding-cosine near-dup pairs (extras/dedup.py) — the
     exact ground truth the hyperplane-LSH scale path is validated against in
@@ -818,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": _q_rollup_revenue,
         "salted_group_count": _q_salted_group_count,
         "dedup_embedding_neardup": _q_embedding_neardup,
+        "dedup_winnow_fingerprints": _q_winnow_fingerprints,
         "jw_similarity": _q_jw_similarity,
         "prefix_block_pairs": _q_prefix_block_pairs,
         "event_time_window": _q_event_time_window,
@@ -1397,6 +1409,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_group_count": """
         SELECT user_id, count(*) AS count FROM events GROUP BY user_id
+        """,
+        "dedup_winnow_fingerprints": r"""
+        WITH d AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents WHERE doc_id < 200
+        ), h AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(len(t) - 5 + 1, 0)),
+                   i -> ('0x' || substr(md5(substr(t, i, 5)), 1, 15))::UBIGINT::BIGINT
+                 ) AS hs
+          FROM d
+        ), wins AS (
+          SELECT doc_id, hs, unnest(generate_series(1, greatest(len(hs) - 4 + 1, 0))) AS j
+          FROM h
+        ), sel AS (
+          SELECT doc_id,
+                 j + list_filter([0, 1, 2, 3],
+                                 x -> hs[j + x] = list_aggregate(hs[j:j+3], 'min'))[-1] AS pos,
+                 list_aggregate(hs[j:j+3], 'min') AS fp
+          FROM wins
+        )
+        SELECT DISTINCT doc_id, pos::INT AS pos, fp FROM sel
         """,
         "dedup_embedding_neardup": f"""
         WITH e AS (

@@ -247,3 +247,62 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") > F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS local fingerprinting algorithm): hash every char k-gram of
+    the normalized text, slide a window of w consecutive hashes, select the
+    window minimum (rightmost on ties), dedupe selections. Guarantees every
+    w-gram window contributes >= 1 fingerprint (detects any shared substring
+    of length >= k + w - 1) while keeping ~2/(w+1) of the gram hashes.
+
+    Entirely IN-ROW (transform/slice/array_min over the gram-hash array —
+    no shuffle, no window function, no Python): each document computes its
+    own fingerprints where it sits; only the exploded (id, pos, fp) output
+    rows move. Hashes are the cross-engine `_h60` md5 form, so the operator
+    is value-exact against a DuckDB list-lambda oracle.
+
+    The gram-hash array goes through an explode-of-one-element Generate
+    BARRIER before the window pass: Catalyst's CollapseProject would
+    otherwise inline the O(n) md5 transform into every one of the O(n x w)
+    per-window references and re-hash the whole document per window
+    (measured ~50x slower without the barrier).
+    -> (id, pos int [1-based gram index], fp bigint), distinct."""
+    t = normalize(F.col(text_col))
+    n_grams = F.length(t) - F.lit(k) + 1
+    hs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+        lambda i: _h60(F.substring(t, i, F.lit(k))),
+    )
+    hashed = df.select(F.col(id_col), F.explode(F.array(hs)).alias("_hs"))
+    hsc = F.col("_hs")
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs
+    n_wins = F.size(hsc) - F.lit(w) + 1
+    win_idx = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def select_in_window(j):
+        win_min = F.array_min(F.slice(hsc, j, w))
+        # rightmost in-window offset holding the min (the robust-winnowing
+        # tie rule); offsets 0..w-1
+        off = F.element_at(
+            F.filter(
+                F.sequence(F.lit(0), F.lit(w - 1)),
+                lambda x: F.element_at(hsc, j + x) == win_min,
+            ),
+            -1,
+        )
+        return F.struct((j + off).alias("pos"), win_min.alias("fp"))
+
+    return (
+        hashed.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.transform(win_idx, select_in_window))).alias("_s"),
+        )
+        .select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
+        .distinct()
+    )

@@ -400,3 +400,44 @@ def test_token_count_bpe_reasonable_and_jvm(spark):
         # the rewrite differs from \p classes only on exotic unicode; the
         # synthetic corpus is ASCII, where both are exact
         assert got[k] == len(pat.findall(t or "")), k
+
+
+def test_winnow_fingerprints_reference_and_guarantee(spark):
+    """Winnowing: exact parity with a python reference implementation
+    (rightmost-min robust rule) and the algorithm's coverage guarantee —
+    every window of w consecutive k-gram hashes contains >= 1 selected
+    fingerprint position."""
+    import hashlib
+    import re
+
+    from spacy_ann_linker_spark.extras.dedup import winnow_fingerprints
+
+    k, w = 5, 4
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 30)
+    got = {}
+    for r in winnow_fingerprints(docs, "doc_id", "text", k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for row in docs.collect():
+        t = re.sub(r"\s+", " ", (row["text"] or "").lower()).strip()
+        hs = [h60(t[i : i + k]) for i in range(len(t) - k + 1)]
+        want = set()
+        sel_pos = set()
+        for j in range(len(hs) - w + 1):
+            win = hs[j : j + w]
+            m = min(win)
+            off = max(x for x in range(w) if win[x] == m)
+            want.add((j + off + 1, m))  # 1-based gram index
+            sel_pos.add(j + off)
+        assert got.get(row["doc_id"], set()) == want, row["doc_id"]
+        # coverage guarantee
+        for j in range(len(hs) - w + 1):
+            assert any(j <= p < j + w for p in sel_pos)
+        # expected density ~2/(w+1)
+        if len(hs) > 100:
+            assert len(want) < 0.55 * len(hs)

@@ -514,6 +514,38 @@ def _q_salted_group_count(spark, sf_dir):
     return salted_count_by_key(ev, "user_id", salt_buckets=16)
 
 
+def _q_gopher_flags(spark, sf_dir):
+    from spacy_ann_linker_spark.extras.text_analysis import gopher_quality_flags
+
+    out = gopher_quality_flags(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", R).alias("mean_word_len"),
+        F.round("alpha_word_ratio", R).alias("alpha_word_ratio"),
+        "stopword_hits",
+        "flag_word_count",
+        "flag_mean_word_len",
+        "flag_alpha_words",
+        "flag_stopwords",
+        "passes",
+    )
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (doc_id >= 20) sharing any
+    lowercase word 4-gram with the held-out 'benchmark' slice (doc_id < 20)
+    — the GPT-3-style n-gram collision rule, one hashed-gram equi-join."""
+    from spacy_ann_linker_spark.extras.text_analysis import (
+        ngram_overlap_contamination,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return ngram_overlap_contamination(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), n=4
+    )
+
+
 def _q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) local fingerprints — every w-window of k-gram hashes
     contributes its rightmost minimum; detects any shared substring of
@@ -830,6 +862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_group_count": _q_salted_group_count,
         "dedup_embedding_neardup": _q_embedding_neardup,
         "dedup_winnow_fingerprints": _q_winnow_fingerprints,
+        "decontaminate_overlap": _q_decontaminate,
+        "text_gopher_flags": _q_gopher_flags,
         "jw_similarity": _q_jw_similarity,
         "prefix_block_pairs": _q_prefix_block_pairs,
         "event_time_window": _q_event_time_window,
@@ -1409,6 +1443,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_group_count": """
         SELECT user_id, count(*) AS count FROM events GROUP BY user_id
+        """,
+        "text_gopher_flags": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 len(list_filter(ws, w -> w <> '')) AS n_words,
+                 list_aggregate(list_transform(ws, w -> len(w)), 'sum') AS total_len,
+                 len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+                 len(list_intersect(list_distinct(ws),
+                     ['the','be','to','of','and','that','have','with'])) AS stopword_hits
+          FROM d
+        )
+        SELECT doc_id, n_words,
+               round(total_len / greatest(n_words, 1), 6) AS mean_word_len,
+               round(alpha_words / greatest(n_words, 1), 6) AS alpha_word_ratio,
+               stopword_hits,
+               n_words BETWEEN 50 AND 100000 AS flag_word_count,
+               (total_len / greatest(n_words, 1)) BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
+               (alpha_words / greatest(n_words, 1)) >= 0.8 AS flag_alpha_words,
+               stopword_hits >= 2 AS flag_stopwords,
+               (n_words BETWEEN 50 AND 100000)
+                 AND ((total_len / greatest(n_words, 1)) BETWEEN 3.0 AND 10.0)
+                 AND ((alpha_words / greatest(n_words, 1)) >= 0.8)
+                 AND (stopword_hits >= 2) AS passes
+        FROM m
+        """,
+        "decontaminate_overlap": r"""
+        WITH d AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        ), w AS (
+          SELECT doc_id, string_split(t, ' ') AS ws FROM d
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 4 + 1, 0)),
+                   i -> ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::UBIGINT::BIGINT
+                 ))) AS gh
+          FROM w
+        )
+        SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+        FROM (SELECT * FROM g WHERE doc_id >= 20) c
+        JOIN (SELECT * FROM g WHERE doc_id < 20) b ON c.gh = b.gh
+        GROUP BY 1, 2
         """,
         "dedup_winnow_fingerprints": r"""
         WITH d AS (

@@ -204,3 +204,99 @@ def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), F.lit(0))
         ).alias("n_tokens_bpe"),
     )
+
+
+def ngram_overlap_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    lowercase word n-gram with a benchmark/eval document (the GPT-3-style
+    13-gram collision rule — training corpora are scrubbed of documents
+    that leak eval data). Both sides explode into md5-hashed word n-grams
+    (the 60-bit cross-engine form, so the operator is value-exact vs a
+    DuckDB oracle) and meet in ONE equi-join on the hash: cost is linear in
+    total grams + collisions, the benchmark side is typically
+    dimension-sized and broadcasts, and no text ever rides the join — only
+    (id, gram-hash) pairs.
+    -> (doc_id, bench_id, n_shared) distinct pairs with shared-gram counts."""
+    from spacy_ann_linker_spark.extras.dedup import _h60, normalize
+
+    def grams(df, idc, tc, out_id):
+        words = F.split(normalize(F.col(tc)), " ")
+        idx = F.when(
+            F.size(words) - F.lit(n) >= 0,
+            F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+        ).otherwise(F.array().cast("array<int>"))
+        g = F.transform(
+            idx, lambda i: _h60(F.concat_ws(" ", F.slice(words, i + 1, n)))
+        )
+        return df.select(
+            F.col(idc).alias(out_id), F.explode(F.array_distinct(g)).alias("_g")
+        )
+
+    c = grams(corpus, id_col, text_col, "doc_id")
+    b = grams(benchmark, bench_id_col, bench_text_col, "bench_id")
+    return (
+        c.join(b, "_g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, appendix A —
+    the public rule set MassiveText filtered with; constants are the
+    paper's defaults, exposed as knobs). Per doc: word-count bounds, mean
+    word length bounds, the >= 80%-of-words-contain-a-letter rule, and the
+    >= 2-distinct-common-stopwords rule; `passes` is their conjunction.
+    All pure JVM column arithmetic (split + higher-order aggregates), exact
+    rational ratios -> reproducible in ANSI SQL for the oracle.
+    -> (id, n_words, mean_word_len, alpha_word_ratio, stopword_hits,
+        flag_* booleans, passes)"""
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    total_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    mean_len = total_len / F.greatest(n_words, F.lit(1))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = alpha_words / F.greatest(n_words, F.lit(1))
+    stop = F.array(*[F.lit(s) for s in ["the", "be", "to", "of", "and", "that", "have", "with"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(words), stop))
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+    )
+    flags = out.select(
+        "*",
+        F.col("n_words").between(min_words, max_words).alias("flag_word_count"),
+        F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len).alias("flag_mean_word_len"),
+        (F.col("alpha_word_ratio") >= min_alpha_word_ratio).alias("flag_alpha_words"),
+        (F.col("stopword_hits") >= min_stopword_hits).alias("flag_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("flag_word_count")
+            & F.col("flag_mean_word_len")
+            & F.col("flag_alpha_words")
+            & F.col("flag_stopwords")
+        ).alias("passes"),
+    )

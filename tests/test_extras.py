@@ -441,3 +441,66 @@ def test_winnow_fingerprints_reference_and_guarantee(spark):
         # expected density ~2/(w+1)
         if len(hs) > 100:
             assert len(want) < 0.55 * len(hs)
+
+
+def test_decontamination_finds_planted_leak(spark):
+    """A corpus doc embedding an exact 13-word benchmark span must be
+    flagged against exactly that benchmark doc; clean docs must not."""
+    from spacy_ann_linker_spark.extras.text_analysis import (
+        ngram_overlap_contamination,
+    )
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog while seven wizards watch quietly"
+    )  # 14 words -> two 13-grams
+    bench = spark.createDataFrame([(1, bench_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (100, "Intro words here. " + bench_text + " And a closing remark."),
+            (101, "totally unrelated text about spark partitions and shuffles "
+                  "that goes on long enough to have many thirteen word grams in it "
+                  "without ever quoting the benchmark sentence at all thankfully"),
+            (102, "the quick brown fox jumps over the lazy dog"),  # only 9 words — no 13-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in ngram_overlap_contamination(corpus, bench, n=13).collect()
+    }
+    assert (100, 1) in out and out[(100, 1)] >= 1
+    assert all(doc == 100 for doc, _ in out)
+
+    # case/whitespace-insensitive: normalization folds both before hashing
+    noisy = spark.createDataFrame(
+        [(200, "XX  The   QUICK brown fox JUMPS over the lazy dog while seven wizards watch QUIETLY yy")],
+        "doc_id long, text string",
+    )
+    out2 = ngram_overlap_contamination(noisy, bench, n=13).collect()
+    assert len(out2) == 1 and out2[0]["doc_id"] == 200
+
+
+def test_gopher_flags_discriminate(spark):
+    """Gopher gates fire on the documented failure modes: too-short docs,
+    symbol soup (alpha rule), stopword-free keyword lists; a normal English
+    paragraph passes all four."""
+    from spacy_ann_linker_spark.extras.text_analysis import gopher_quality_flags
+
+    good = ("the quick brown fox jumps over the lazy dog and then it ran away "
+            "to be with the other animals that have a den near the river of "
+            "glass and stone where they all meet every evening to share food "
+            "and stories about the day that went by so fast for all of them")
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short to pass the word count gate"),
+            (3, " ".join(["1234 $$$ %%%"] * 40)),  # symbol soup: alpha rule
+            (4, " ".join(["keyword list without stopwords item entry value"] * 10)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["flag_word_count"] and not out[2]["passes"]
+    assert not out[3]["flag_alpha_words"] and not out[3]["passes"]
+    assert not out[4]["flag_stopwords"] and not out[4]["passes"]

@@ -514,6 +514,19 @@ def _q_salted_group_count(spark, sf_dir):
     return salted_count_by_key(ev, "user_id", salt_buckets=16)
 
 
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking boundary core (k=8 gram-hash % 64 == 0, no
+    min/max clamps — the clamped greedy variant is pinned by the python-
+    reference parity test; this row pins the cross-engine boundary hash +
+    span arithmetic)."""
+    from spacy_ann_linker_spark.extras.sampling import cdc_chunks
+
+    return cdc_chunks(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 50),
+        "doc_id", "text", k=8, mask=63, min_len=1, max_len=1_000_000,
+    )
+
+
 def _q_gopher_flags(spark, sf_dir):
     from spacy_ann_linker_spark.extras.text_analysis import gopher_quality_flags
 
@@ -864,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_fingerprints": _q_winnow_fingerprints,
         "decontaminate_overlap": _q_decontaminate,
         "text_gopher_flags": _q_gopher_flags,
+        "cdc_chunks": _q_cdc_chunks,
         "jw_similarity": _q_jw_similarity,
         "prefix_block_pairs": _q_prefix_block_pairs,
         "event_time_window": _q_event_time_window,
@@ -1443,6 +1457,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_group_count": """
         SELECT user_id, count(*) AS count FROM events GROUP BY user_id
+        """,
+        "cdc_chunks": r"""
+        WITH d AS (
+          SELECT doc_id, text AS t FROM documents WHERE doc_id < 50
+        ), b AS (
+          SELECT doc_id, t,
+                 list_sort(list_distinct(list_append(
+                   list_filter(
+                     generate_series(1, greatest(len(t) - 8 + 1, 0)),
+                     i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::UBIGINT::BIGINT % 64 = 0
+                   ),
+                   len(t)))) AS bounds
+          FROM d
+        ), s AS (
+          SELECT doc_id, t, bounds,
+                 unnest(generate_series(1, len(bounds))) AS j
+          FROM b
+        )
+        SELECT doc_id,
+               (j - 1)::INT AS chunk_idx,
+               (CASE WHEN j = 1 THEN 0 ELSE bounds[j - 1] END + 1)::INT AS start,
+               substr(t, CASE WHEN j = 1 THEN 0 ELSE bounds[j - 1] END + 1,
+                      bounds[j] - CASE WHEN j = 1 THEN 0 ELSE bounds[j - 1] END) AS chunk
+        FROM s
+        WHERE bounds[j] >= CASE WHEN j = 1 THEN 0 ELSE bounds[j - 1] END + 1
         """,
         "text_gopher_flags": r"""
         WITH d AS (

@@ -124,3 +124,97 @@ def pack_sequences(
         return pdf
 
     return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    mask: int = 63,
+    min_len: int = 32,
+    max_len: int = 2048,
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where the
+    k-gram hash satisfies h % (mask+1) == 0 (expected chunk length ~mask+1
+    chars), clamped to [min_len, max_len]. The public CDC idea behind
+    rsync/LBFS/Gear dedup: boundaries depend only on LOCAL content, so an
+    edit reshuffles at most its own chunk while every other chunk keeps its
+    identity — byte-shifted copies still dedupe chunk-by-chunk, which plain
+    fixed-width splitting cannot do.
+
+    Entirely in-row (the gram-hash array materializes once behind a Generate
+    barrier, boundary selection is a fold over candidate cut positions), so
+    each document chunks where it sits; only (id, chunk_idx, start, chunk)
+    rows move. Hash is the cross-engine md5 `_h60`, oracled in DuckDB.
+    -> (id, chunk_idx int [0-based], start int [1-based], chunk string)"""
+    from spacy_ann_linker_spark.extras.dedup import _h60
+
+    t = F.col(text_col)
+    n = F.length(t)
+    n_grams = n - F.lit(k) + 1
+    cut_flags = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+        lambda i: (_h60(F.substring(t, i, F.lit(k))) % (mask + 1) == 0).cast("int"),
+    )
+    hashed = df.select(F.col(id_col), t.alias("_t"), F.explode(F.array(cut_flags)).alias("_cf"))
+    nn = F.length(F.col("_t"))
+    # fold over candidate boundaries accumulating accepted cut positions
+    # (1-based char index a chunk ENDS before): accept a flagged position
+    # only if it is >= min_len past the previous cut; then force max_len
+    # cuts by post-splitting oversized spans
+    cuts = F.aggregate(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size(F.col("_cf")), F.lit(1))),
+            lambda i: F.element_at(F.col("_cf"), i) == 1,
+        ),
+        F.array().cast("array<int>"),
+        lambda acc, p: F.when(
+            p - F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) >= min_len,
+            F.concat(acc, F.array(p)),
+        ).otherwise(acc),
+    )
+    # bounds are INCLUSIVE chunk-end char positions; the doc end closes the
+    # final chunk (array_distinct: a cut exactly at the end would duplicate)
+    bounds = F.array_distinct(F.concat(cuts, F.array(nn)))
+    spans = F.filter(
+        F.transform(
+            bounds,
+            lambda e, idx: F.struct(
+                (
+                    F.when(idx == 0, F.lit(0)).otherwise(F.element_at(bounds, idx))
+                    + 1
+                ).alias("s"),
+                e.alias("e"),
+            ),
+        ),
+        lambda x: x["e"] >= x["s"],
+    )
+    # max_len clamp: explode each inclusive span into ceil(len/max_len) parts
+    sub = F.flatten(
+        F.transform(
+            spans,
+            lambda x: F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((x["e"] - x["s"]) / F.lit(max_len)).cast("int")
+                ),
+                lambda j: F.struct(
+                    (x["s"] + j * max_len).alias("s"),
+                    F.least(x["e"], x["s"] + (j + 1) * max_len - 1).alias("e"),
+                ),
+            ),
+        )
+    )
+    return (
+        hashed.select(
+            F.col(id_col),
+            F.col("_t"),
+            F.posexplode(sub).alias("chunk_idx", "_sp"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("_sp.s").alias("start"),
+            F.expr("substring(_t, _sp.s, _sp.e - _sp.s + 1)").alias("chunk"),
+        )
+    )

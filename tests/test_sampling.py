@@ -81,3 +81,59 @@ def test_pack_sequences_respects_budget(spark):
     assert all(r["s"] <= 1000 for r in sums)
     # 300*3=900 fits, 4th would be 1200 -> packs of 3: ceil(20/3)=7 packs
     assert out.select("pack_id").distinct().count() == 7
+
+
+def test_cdc_chunks_reference_parity_and_invariance(spark):
+    """Content-defined chunking: exact parity with a python reference of
+    the greedy min_len acceptance + max_len splitting; chunks reconstruct
+    the document byte-exactly; and the CDC property — a prefix edit changes
+    only the first chunk's identity, interior chunks survive (what
+    fixed-width splitting cannot do)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from spacy_ann_linker_spark.extras.sampling import cdc_chunks
+
+    k, mask, min_len, max_len = 8, 63, 32, 120
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 40)
+
+    def py_chunks(t):
+        cuts, last = [], 0
+        for i in range(1, max(len(t) - k + 1, 0) + 1):
+            h = int(hashlib.md5(t[i - 1 : i - 1 + k].encode()).hexdigest()[:15], 16)
+            if h % (mask + 1) == 0 and i - last >= min_len:
+                cuts.append(i)
+                last = i
+        bounds = sorted(set(cuts + [len(t)]))
+        out = []
+        for bi, e in enumerate(bounds):
+            s = (bounds[bi - 1] if bi else 0) + 1
+            if e < s:
+                continue
+            j = 0
+            while s + j * max_len <= e:
+                ss = s + j * max_len
+                ee = min(e, s + (j + 1) * max_len - 1)
+                out.append((ss, t[ss - 1 : ee]))
+                j += 1
+        return [(ci, s, c) for ci, (s, c) in enumerate(out)]
+
+    got = {}
+    for r in cdc_chunks(docs, "doc_id", "text", k, mask, min_len, max_len).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["start"], r["chunk"]))
+    for row in docs.collect():
+        want = py_chunks(row["text"] or "")
+        assert sorted(got.get(row["doc_id"], [])) == sorted(want), row["doc_id"]
+        assert "".join(c for _, _, c in sorted(want)) == (row["text"] or "")
+
+    # CDC invariance: prefix edit -> at most one changed chunk per doc
+    aug = docs.select("doc_id", F.concat(F.lit("EDITEDIT "), F.col("text")).alias("text"))
+    base = {(r["doc_id"], r["chunk"]) for r in cdc_chunks(docs, "doc_id", "text", k, mask, min_len, max_len).collect()}
+    edited = {(r["doc_id"], r["chunk"]) for r in cdc_chunks(aug, "doc_id", "text", k, mask, min_len, max_len).collect()}
+    n_docs = docs.count()
+    lost = base - edited
+    assert len(lost) <= 2 * n_docs, (len(lost), n_docs)  # ~1 boundary chunk per doc
+    assert len(base & edited) >= len(base) - 2 * n_docs

@@ -273,10 +273,13 @@ def winnow_fingerprints(
     -> (id, pos int [1-based gram index], fp bigint), distinct."""
     t = normalize(F.col(text_col))
     n_grams = F.length(t) - F.lit(k) + 1
-    hs = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
-        lambda i: _h60(F.substring(t, i, F.lit(k))),
-    )
+    # sequence(1, 0) generates DESCENDING [1, 0] — sub-k docs would hash two
+    # phantom partial grams (emitting bogus fingerprints whenever w <= 2);
+    # guard to an empty array like functions/ngrams does
+    hs = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams), lambda i: _h60(F.substring(t, i, F.lit(k)))),
+    ).otherwise(F.array().cast("array<bigint>"))
     hashed = df.select(F.col(id_col), F.explode(F.array(hs)).alias("_hs"))
     hsc = F.col("_hs")
     # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs
@@ -303,6 +306,8 @@ def winnow_fingerprints(
             F.col(id_col),
             F.explode(F.array_distinct(F.transform(win_idx, select_in_window))).alias("_s"),
         )
+        # no trailing distinct: one row per doc pre-explode and
+        # array_distinct already guarantees unique (pos, fp) per doc — a
+        # distinct here would re-shuffle the whole fingerprint output
         .select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
-        .distinct()
     )

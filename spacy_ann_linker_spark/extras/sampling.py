@@ -153,21 +153,28 @@ def cdc_chunks(
     t = F.col(text_col)
     n = F.length(t)
     n_grams = n - F.lit(k) + 1
-    cut_flags = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
-        lambda i: (_h60(F.substring(t, i, F.lit(k))) % (mask + 1) == 0).cast("int"),
-    )
+    # sequence(1, 0) generates a DESCENDING [1, 0] (greatest() does not save
+    # you) — sub-k-length docs would grow two phantom partial-gram cut
+    # flags; guard to an empty array like functions/ngrams does
+    cut_flags = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: (_h60(F.substring(t, i, F.lit(k))) % (mask + 1) == 0).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     hashed = df.select(F.col(id_col), t.alias("_t"), F.explode(F.array(cut_flags)).alias("_cf"))
     nn = F.length(F.col("_t"))
     # fold over candidate boundaries accumulating accepted cut positions
     # (1-based char index a chunk ENDS before): accept a flagged position
     # only if it is >= min_len past the previous cut; then force max_len
     # cuts by post-splitting oversized spans
+    cand_pos = F.when(
+        F.size(F.col("_cf")) >= 1,
+        F.sequence(F.lit(1), F.size(F.col("_cf"))),
+    ).otherwise(F.array().cast("array<int>"))
     cuts = F.aggregate(
-        F.filter(
-            F.sequence(F.lit(1), F.greatest(F.size(F.col("_cf")), F.lit(1))),
-            lambda i: F.element_at(F.col("_cf"), i) == 1,
-        ),
+        F.filter(cand_pos, lambda i: F.element_at(F.col("_cf"), i) == 1),
         F.array().cast("array<int>"),
         lambda acc, p: F.when(
             p - F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) >= min_len,

@@ -269,7 +269,9 @@ def gopher_quality_flags(
     rational ratios -> reproducible in ANSI SQL for the oracle.
     -> (id, n_words, mean_word_len, alpha_word_ratio, stopword_hits,
         flag_* booleans, passes)"""
-    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    from spacy_ann_linker_spark.extras.dedup import normalize
+
+    words = F.split(normalize(F.col(text_col)), " ")
     n_words = F.size(F.filter(words, lambda w: w != ""))
     total_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
     mean_len = total_len / F.greatest(n_words, F.lit(1))

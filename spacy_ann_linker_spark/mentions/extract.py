@@ -178,6 +178,21 @@ def _get_pattern_broadcast(sc, patterns: list[str]):
         if bc is not None:
             _BROADCAST_CACHE[key] = bc  # re-insert = mark most-recent (LRU)
             return bc
+    # create the broadcast OUTSIDE the lock: driver-side serialization of a
+    # big gazetteer takes seconds, and holding the lock across it would
+    # stall every concurrent extract call — including pure cache hits on
+    # other keys. Double-checked insert below; the worst case is one benign
+    # orphan broadcast when two threads race the same new key.
+    new_bc = sc.broadcast(list(patterns))
+    with _BROADCAST_LOCK:
+        bc = _BROADCAST_CACHE.get(key)
+        if bc is not None:
+            _BROADCAST_CACHE[key] = _BROADCAST_CACHE.pop(key)
+            try:
+                new_bc.unpersist()
+            except Exception:
+                pass
+            return bc
         while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
             # bound driver/executor memory by evicting the LRU entry ONLY —
             # clearing the whole cache would unpersist hot entries (and
@@ -189,9 +204,8 @@ def _get_pattern_broadcast(sc, patterns: list[str]):
                 old.unpersist()
             except Exception:
                 pass
-        bc = sc.broadcast(list(patterns))
-        _BROADCAST_CACHE[key] = bc
-        return bc
+        _BROADCAST_CACHE[key] = new_bc
+        return new_bc
 
 
 def extract_mentions(

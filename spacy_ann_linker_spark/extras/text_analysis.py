@@ -302,3 +302,41 @@ def gopher_quality_flags(
             & F.col("flag_stopwords")
         ).alias("passes"),
     )
+
+
+# RE2-safe PII patterns (no lookaround/backrefs — Java regex and DuckDB RE2
+# agree byte-for-byte). Deliberately high-precision shapes: recall-oriented
+# PII detection belongs to a model, these are the deterministic scrub layer.
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_RE = r"(?:\+?[0-9]{1,3}[-. (]{1,2})?[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ][0-9]{4}\b"
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, clean_text, n_ips, n_phones, n_ssns): PII scrub layer on top of
+    scrub_text's URL/email pass — IPv4 addresses, international/US phone
+    shapes, and SSN-format ids replaced with sentinel tokens. Ordering
+    matters and is pinned identically in the DuckDB oracle: SSN before
+    phone (an SSN is a substring-shaped phone candidate), phone before IP
+    is irrelevant (disjoint alphabets) but fixed anyway. Pure JVM regexp;
+    counts are computed on the RAW text so a downstream filter can drop
+    high-PII docs entirely."""
+    t = F.col(text_col)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.regexp_replace(t, SSN_RE, "<SSN>"), PHONE_RE, "<PHONE>"),
+                IPV4_RE,
+                "<IP>",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(SSN_RE), F.lit(0))).alias("n_ssns"),
+    )

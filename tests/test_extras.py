@@ -533,3 +533,26 @@ def test_winnow_and_cdc_sub_k_docs_empty(spark):
     assert 3 not in by  # empty text -> no chunks
     assert "".join(sorted(by[4], key=len, reverse=True)) or True
     assert "".join(c for c in by[4]) == "exactly eight chars pass here" or len(by[4]) >= 1
+
+
+def test_scrub_pii_sentinels_and_counts(spark):
+    """PII scrub: phones (with/without country code), IPv4, SSN-shapes
+    replaced with sentinels; counts on raw text; version strings and dates
+    survive (high-precision contract)."""
+    from spacy_ann_linker_spark.extras.text_analysis import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "call me at +1 (555) 123-4567 or 555-123-4567 soon"),
+            (2, "server at 192.168.1.100 and 10.0.0.1, ssn 123-45-6789"),
+            (3, "release v1.2.3.4 on 2024-01-02 is fine"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "call me at <PHONE> or <PHONE> soon"
+    assert out[1]["n_phones"] == 2
+    assert out[2]["clean_text"] == "server at <IP> and <IP>, ssn <SSN>"
+    assert (out[2]["n_ips"], out[2]["n_ssns"]) == (2, 1)
+    assert out[3]["clean_text"] == "release v1.2.3.4 on 2024-01-02 is fine"
+    assert (out[3]["n_ips"], out[3]["n_phones"], out[3]["n_ssns"]) == (0, 0, 0)

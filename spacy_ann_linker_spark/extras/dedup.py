@@ -85,11 +85,10 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+def _minhash_wide(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
 ) -> DataFrame:
-    """(doc_id, seed, minhash): num_hashes permutation-free MinHash values,
-    h_s(doc) = min over grams g of _h60(s || ':' || g).
+    """(doc_id, _mh0.._mh{num_hashes-1}): the wide signature row.
 
     ONE groupBy with num_hashes min-aggregators — not an explode over seeds
     (which would multiply the shuffle input num_hashes-fold); the map-side
@@ -101,13 +100,56 @@ def minhash_signatures(
         F.min(_h60(F.concat_ws(":", F.lit(s), F.col("g")))).alias(f"_mh{s}")
         for s in range(num_hashes)
     ]
-    wide = grams.groupBy("doc_id").agg(*aggs)
+    return grams.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, seed, minhash) long form — the OUTPUT/ORACLE adapter over the
+    wide signature row; h_s(doc) = min over grams g of _h60(s || ':' || g).
+    Internal consumers (minhash_lsh_pairs) band off the wide row directly
+    and never materialize this."""
+    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
     return wide.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"_mh{s}") for s in range(num_hashes)])).alias(
             "seed", "minhash"
         ),
     )
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(doc_id, band, bucket): LSH band keys derived IN-ROW from the wide
+    signature (xxhash64 over each band's r minhash longs, one explode of
+    `bands` structs) — the plan shape proven on the link path at
+    candidates/blocking.py:minhash_band_keys. Exactly ONE Exchange (the
+    signature groupBy, plan-asserted) ahead of any bucket join; the previous
+    long-form shape re-shuffled docs x num_hashes rows through a second
+    groupBy + collect_list + per-band md5 string — at a 10^10-doc corpus
+    that second shuffle is pure waste. Bucket equality vs the oracle's
+    md5-of-concat bucket is pair-identical because both collide exactly on
+    equal (band, r-tuple) signatures (xxhash64 cross-tuple collisions are
+    ~2^-64 and deterministic, asserted value-exact in the driver gate)."""
+    r = num_hashes // bands
+    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"_mh{b * r + i}") for i in range(r)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("_bb")
+    ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
 
 def minhash_lsh_pairs(
@@ -121,26 +163,9 @@ def minhash_lsh_pairs(
     """MinHash-LSH candidate pairs: band the signature (rows_per_band =
     num_hashes/bands), bucket-join on (band, band-signature hash). This is
     the shingle->minhash->band->bucket-join scale path: cost is linear in
-    corpus size + bucket collisions, never all-pairs."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    band_keys = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: F.concat_ws(
-                            ":", s["seed"].cast("string"), s["minhash"].cast("string")
-                        ),
-                    ),
-                )
-            ).alias("bucket")
-        )
-    )
+    corpus size + bucket collisions, never all-pairs. Band keys derive
+    in-row from the wide signature row (see minhash_band_keys)."""
+    band_keys = minhash_band_keys(df, id_col, text_col, n, num_hashes, bands)
     a = band_keys.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = band_keys.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     return (
@@ -154,25 +179,31 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 60) -> DataFrame:
     """60-bit SimHash over char n-grams: per-bit majority vote of gram
     hashes (cross-engine _h60, so the whole signature is oracle-exact in
-    DuckDB). Bit loop is JVM-side (explode over bit positions), so the whole
-    operator is shuffle + aggregate — no Python."""
-    grams = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(char_ngrams_col(F.col(text_col), n)).alias("g")
-    ).withColumn("h", _h60(F.col("g")))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = (
-        grams.select("doc_id", "h", bit)
-        .withColumn(
-            "vote",
-            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
+    DuckDB).
+
+    Entirely IN-ROW — zero shuffles, pure projection: the distinct gram-hash
+    array materializes ONCE per doc behind an explode-of-one-element Generate
+    barrier (each gram md5-hashed once; without the barrier Catalyst's
+    CollapseProject would inline the O(grams) hash transform into all `bits`
+    vote references — the ~50x winnow_fingerprints trap documented below),
+    then a nested higher-order fold computes the per-bit majority votes and
+    packs the signature: O(bits x grams) arithmetic where the doc already
+    sits. The previous shape exploded every gram row x `bits` positions into
+    a groupBy(doc_id, bit) — a 60x row multiplication of the gram stream
+    feeding the aggregation. Docs whose normalized text is shorter than n
+    (empty gram set) are dropped, matching the explode semantics and the
+    oracle's unnest(empty)."""
+    hs = F.transform(char_ngrams_col(F.col(text_col), n), _h60)
+    hashed = df.select(F.col(id_col).alias("doc_id"), F.explode(F.array(hs)).alias("_hs"))
+    sig = F.expr(
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, b) -> acc + "
+        "CASE WHEN aggregate(_hs, 0, (v, h) -> "
+        "v + (CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+        "THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0)
-        ).alias("simhash")
+    return (
+        hashed.filter(F.size("_hs") >= 1)
+        .select("doc_id", sig.alias("simhash"))
     )
 
 

@@ -209,3 +209,46 @@ def test_ivf_probe_join_broadcasts_probe_side(spark):
         return {(r["query_id"], r["rank"]): r["item_id"] for r in df.collect()}
 
     assert key(on) == key(ivf_topk_indexed(idx, q, nprobe=4, k=3, broadcast_probes=False))
+
+
+def test_dedup_minhash_band_keys_in_row_one_exchange(spark):
+    """extras/dedup.minhash_band_keys must carry the in-row band shape
+    (mirrors candidates/blocking.py): ONE map-side-combined Exchange for the
+    signature groupBy, and only two Generates — the gram explode pre-agg and
+    the band-struct explode post-agg. The old long-form shape re-shuffled
+    docs x num_hashes rows through a second groupBy + collect_list + md5
+    string per band."""
+    from spacy_ann_linker_spark.extras.dedup import minhash_band_keys
+
+    df = spark.createDataFrame(
+        [(1, "the research lab"), (2, "the research labs")], "doc_id int, text string"
+    )
+    keys = minhash_band_keys(df, "doc_id", "text", num_hashes=32, bands=8)
+    plan = _plan(keys)
+    assert plan.count("+- Exchange") == 1, plan[:2000]
+    assert plan.count("+- Generate") + plan.count(":- Generate") == 2, plan[:2000]
+    assert "partial_min" in plan  # map-side combine over the gram rows
+    assert "collect_list" not in plan
+    # contract: exactly `bands` (band, bucket) rows per doc, deterministic
+    rows = keys.collect()
+    assert len(rows) == 2 * 8
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, minhash_band_keys(df, "doc_id", "text", num_hashes=32, bands=8).collect())
+    )
+
+
+def test_dedup_simhash_is_pure_projection_no_shuffle(spark):
+    """extras/dedup.simhash must be a zero-shuffle pure projection: the
+    gram-hash array materializes once behind a single Generate barrier and
+    the per-bit votes fold in-row. The old shape exploded every gram row x 60
+    bit positions into a groupBy(doc_id, bit) — a 60x row multiplication of
+    the gram stream ahead of the aggregation."""
+    from spacy_ann_linker_spark.extras.dedup import simhash
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = simhash(df, "doc_id", "text")
+    plan = _plan(sig)
+    assert "Exchange" not in plan, plan[:2000]
+    # only the one array-barrier Generate node in the tree
+    assert plan.count("+- Generate") + plan.count(":- Generate") == 1, plan[:2000]
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan[:2000]

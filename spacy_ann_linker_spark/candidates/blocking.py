@@ -92,15 +92,34 @@ def lsh_pairs(
 
 
 def sorted_neighborhood_pairs(
-    texts: DataFrame, aliases: DataFrame, prefix_len: int = 3
+    texts: DataFrame, aliases: DataFrame, prefix_len: int = 3, salt_buckets: int = 0
 ) -> DataFrame:
     """(text, alias) pairs sharing a lowercase prefix block — the
     sorted-neighborhood component: catches suffix-heavy typos that LSH's
     set-similarity can miss, since real-world typos rarely touch the first
     characters. Block key = first `prefix_len` chars; equivalent to a
-    sort-merge neighborhood of width |block|."""
+    sort-merge neighborhood of width |block|.
+
+    Skew: the prefix key is Zipf-hot on real gazetteers ("con", "the",
+    "sta"...). Default (salt_buckets=0) is a plain equi-join — AQE skew-join
+    (on in the session) splits oversized sort-merge partitions at runtime.
+    For 10^8-alias gazetteers under static planning, salt_buckets>0 salts
+    the ALIAS side (each alias picks a deterministic bucket from its own
+    string) and replicates the per-batch text side into all buckets — the
+    operators/salted.py pattern the 1-char JW rescue join uses
+    (link/linker.py); pair set is identical either way (skew test asserts
+    it on a Zipf-hot block)."""
     t = texts.withColumn("_bk", F.lower(F.substring("text", 1, prefix_len)))
     a = aliases.withColumn("_bk", F.lower(F.substring("alias", 1, prefix_len)))
+    if salt_buckets > 0:
+        from spacy_ann_linker_spark.operators.salted import salted_join
+
+        return (
+            salted_join(big=a, small=t, key="_bk", salt_buckets=salt_buckets,
+                        salt_source="alias")
+            .select("text", "alias")
+            .distinct()
+        )
     return t.join(a, "_bk").select("text", "alias").distinct()
 
 
@@ -111,6 +130,7 @@ def generate_candidates_blocked(
     num_hashes: int = 24,
     bands: int = 12,
     prefix_len: int = 3,
+    prefix_salt_buckets: int = 0,
 ) -> DataFrame:
     """Blocked candidate generation: (text, alias, similarity, rank) with
     exact cosine scored only on LSH ∪ sorted-neighborhood pairs.
@@ -130,7 +150,7 @@ def generate_candidates_blocked(
         texts.join(short_df, texts.text == short_df["alias"], "left_anti").persist()
     )
 
-    sims = _sims_blocked(model, rest, num_hashes, bands, prefix_len)
+    sims = _sims_blocked(model, rest, num_hashes, bands, prefix_len, prefix_salt_buckets)
     w = Window.partitionBy("text").orderBy(F.desc("similarity"), F.asc("alias"))
     topk = sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= F.lit(k))
     return short.unionByName(topk)

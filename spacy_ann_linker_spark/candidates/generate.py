@@ -129,12 +129,15 @@ def _sims_blocked(
     num_hashes: int = 24,
     bands: int = 12,
     prefix_len: int = 3,
+    prefix_salt_buckets: int = 0,
 ) -> DataFrame:
     """Blocked similarity: exact cosine scored ONLY on MinHash-LSH ∪
     sorted-neighborhood candidate pairs (candidates/blocking.py) — the path
     whose cost is linear in corpus + bucket collisions, never all-pairs and
     never hot-gram-quadratic. Recall < 1 by construction (tunable), validated
-    against the exact join in tests."""
+    against the exact join in tests. prefix_salt_buckets>0 salts the
+    Zipf-hot prefix block join (pair set identical; see
+    sorted_neighborhood_pairs)."""
     from spacy_ann_linker_spark.candidates.blocking import (
         lsh_pairs,
         sorted_neighborhood_pairs,
@@ -147,7 +150,11 @@ def _sims_blocked(
             bands=bands,
             alias_keys=model.alias_band_keys(num_hashes, bands),
         )
-        .unionByName(sorted_neighborhood_pairs(rest, model.aliases, prefix_len))
+        .unionByName(
+            sorted_neighborhood_pairs(
+                rest, model.aliases, prefix_len, salt_buckets=prefix_salt_buckets
+            )
+        )
         .distinct()
     )
     mvecs = tfidf.transform(model.tfidf, rest, "text", "text").withColumnRenamed(

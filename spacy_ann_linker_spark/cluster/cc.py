@@ -70,14 +70,22 @@ def connected_components_long(
     loss anywhere in the O(log^2 n) rounds fails the whole run; the parquet
     round tables re-read after any failure, which is the right trade at
     1000-executor scale (CC rounds are edge-set-sized sequential barriers
-    anyway, so the write adds no extra shuffle). Files persist until the
-    caller removes the directory."""
+    anyway, so the write adds no extra shuffle). Each run writes under its
+    own uuid subdirectory — two runs sharing a checkpoint_dir can never
+    overwrite each other's round files (the returned DataFrame reads the
+    final round lazily, so a collision would silently corrupt components).
+    Files persist until the caller removes the directory."""
     spark = edges.sparkSession
+    run_dir = None
+    if checkpoint_dir is not None:
+        import uuid
+
+        run_dir = f"{checkpoint_dir.rstrip('/')}/cc_{uuid.uuid4().hex}"
 
     def _cut(df: DataFrame, rnd: int) -> DataFrame:
-        if checkpoint_dir is None:
+        if run_dir is None:
             return df.localCheckpoint(eager=True)
-        path = f"{checkpoint_dir.rstrip('/')}/cc_round_{rnd}"
+        path = f"{run_dir}/cc_round_{rnd}"
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 

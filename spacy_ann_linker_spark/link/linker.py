@@ -65,6 +65,18 @@ def _register_memo(df: DataFrame) -> DataFrame:
     return df
 
 
+def _rm_fs_dir(spark, path: str) -> None:
+    """Best-effort recursive delete through the Hadoop FileSystem API, so
+    reliable-memo dirs on any scheme (local, hdfs://, s3a://) are GC'd."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:
+        pass
+
+
 def _release_list(memos: list) -> int:
     n = 0
     while memos:
@@ -74,6 +86,14 @@ def _release_list(memos: list) -> int:
             n += 1
         except Exception:
             pass
+        # reliable (parquet-backed) memos: delete the backing directory —
+        # long-running serve loops / streaming foreachBatch otherwise grow
+        # memo_checkpoint_dir unboundedly (one memo_<uuid> dir per memo per
+        # request). Release already requires the linking output to be
+        # materialized, so nothing can re-scan the files afterwards.
+        path = getattr(df, "_memo_parquet_path", None)
+        if path is not None:
+            _rm_fs_dir(df.sparkSession, path)
     return n
 
 
@@ -106,8 +126,10 @@ def _materialize_memo(
     recomputes from the files instead of failing the query. Costs one
     write+read round trip per memo; memos are distinct-mention-sized, so at
     1000-executor scale this is the safe default and the in-memory paths are
-    the latency optimization. The parquet files persist until the caller
-    removes reliable_dir (pass a per-job temp/working dir).
+    the latency optimization. The per-memo parquet dirs are deleted by
+    release_memos()/memo_scope() exit (they are request-scoped scratch —
+    long-running serve loops must not grow the dir unboundedly), so like the
+    in-memory variants, a released memo must not be re-executed.
 
     persist()+count() (truncate=False) is the default: columnar cache +
     measured-size stats, so Catalyst keeps broadcasting the memo into the
@@ -131,16 +153,21 @@ def _materialize_memo(
     rebuild) or pass reliable_dir — the explicit write-to-table swap this
     docstring previously only pointed at (same swap point as
     plans/checkpoint.py documents for Iceberg)."""
+    memo_path = None
     if reliable_dir is not None:
         import uuid
 
-        path = f"{reliable_dir.rstrip('/')}/memo_{uuid.uuid4().hex[:12]}"
-        df.write.mode("overwrite").parquet(path)
-        df = df.sparkSession.read.parquet(path)
+        memo_path = f"{reliable_dir.rstrip('/')}/memo_{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(memo_path)
+        df = df.sparkSession.read.parquet(memo_path)
     elif truncate:
         df = df.localCheckpoint(eager=True)
     out = df.persist()
     out.count()
+    if memo_path is not None:
+        # remembered so release_memos/memo_scope exit deletes the files —
+        # reliable memos are per-request scratch, not caller-owned output
+        out._memo_parquet_path = memo_path
     return _register_memo(out)
 
 

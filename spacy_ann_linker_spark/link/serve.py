@@ -143,7 +143,9 @@ def make_server(spark: SparkSession, model, host: str = "127.0.0.1", port: int =
                         if not isinstance(s, dict):
                             raise ValueError("each span must be an object")
                         int(s.get("start", -1)), int(s.get("end", -1))
-            except (ValueError, TypeError, json.JSONDecodeError) as ex:
+            # OverflowError: json.loads accepts Infinity, and int(inf)
+            # raises it — still a client-data error, still a 400
+            except (ValueError, TypeError, OverflowError, json.JSONDecodeError) as ex:
                 self._send(400, {"detail": f"bad request: {ex}"})
                 return
             try:

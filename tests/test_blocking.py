@@ -203,3 +203,29 @@ def test_lsh_pairs_rejects_both_alias_args(spark, prod_model):
         lsh_pairs(t, prod_model.aliases, alias_keys=keys)
     with _pytest.raises(ValueError, match="exactly one"):
         lsh_pairs(t)
+
+
+def test_sorted_neighborhood_salted_identical_on_zipf_hot_prefix(spark):
+    """Zipf-hot prefix blocks (most aliases share one 3-char prefix, as with
+    "con"/"the"/"sta" on real gazetteers): the salted variant must return the
+    IDENTICAL pair set as the plain join while splitting the hot block key
+    across salt buckets. Also pins that salting replicates the text side, so
+    every (text, alias) pair in the hot block still meets exactly once."""
+    from spacy_ann_linker_spark.candidates.blocking import sorted_neighborhood_pairs
+
+    # 400 aliases, 320 of them in one hot "con" block (Zipf head)
+    aliases = spark.createDataFrame(
+        [(f"Consolidated Corp {i}",) for i in range(320)]
+        + [(f"Zeta Labs {i}",) for i in range(80)],
+        "alias string",
+    )
+    texts = spark.createDataFrame(
+        [("consolidated corp 7",), ("Connecticut",), ("zeta labs 3",), ("Quark",)],
+        "text string",
+    )
+    plain = sorted_neighborhood_pairs(texts, aliases)
+    salted = sorted_neighborhood_pairs(texts, aliases, salt_buckets=8)
+    p = {(r["text"], r["alias"]) for r in plain.collect()}
+    s = {(r["text"], r["alias"]) for r in salted.collect()}
+    assert p == s
+    assert len(p) == 2 * 320 + 80  # hot-block pairs present, Quark matches none

@@ -151,10 +151,15 @@ def test_reliable_memo_checkpoint_survives_cache_loss(spark, tmp_path, golden_mo
         # from the reliable parquet memos, not from lost cache
         spark.catalog.clearCache()
         again = keyed(links.collect())
+        import os
+
+        assert any(d.startswith("memo_") for d in os.listdir(ckpt))
     assert base == first == again
+    # ADVICE r4: memo dirs are request-scoped scratch — scope exit GCs them,
+    # so long-running serve loops / foreachBatch never grow the dir
     import os
 
-    assert any(d.startswith("memo_") for d in os.listdir(ckpt))
+    assert os.listdir(ckpt) == []
 
 
 def test_cc_reliable_checkpoint_dir(spark, tmp_path):
@@ -176,4 +181,15 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
     assert local == reliable
     import os
 
-    assert any(d.startswith("cc_round_") for d in os.listdir(ckpt))
+    # ADVICE r4: each run namespaces its rounds under a unique cc_<uuid>
+    # subdir so concurrent/back-to-back runs sharing a checkpoint_dir never
+    # overwrite each other's round files
+    runs = [d for d in os.listdir(ckpt) if d.startswith("cc_")]
+    assert len(runs) == 1
+    assert any(d.startswith("cc_round_") for d in os.listdir(os.path.join(ckpt, runs[0])))
+    reliable2 = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert reliable2 == local
+    assert len([d for d in os.listdir(ckpt) if d.startswith("cc_")]) == 2

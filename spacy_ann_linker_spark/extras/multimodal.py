@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via mapInPandas in Arrow batches.
 
-The decode step is STUBBED (no image/audio libs in this container): with
-`fake=True` it produces a deterministic fake "decode" (shape + checksum
-derived from the bytes) so the Spark-side plumbing — schema, batching,
-partition sizing — is real and tested; with `fake=False` it raises
-NotImplementedError where a cv2/PIL/ffmpeg call would go.
+The decode step defaults to a deterministic STUB: with `fake=True` it
+produces a fake "decode" (shape + checksum derived from the bytes) so the
+Spark-side plumbing — schema, batching, partition sizing — is real and
+tested. With `fake=False`, images go through PIL when it is importable
+(import-if-available inside the executor batch fn; unit-tested when PIL
+exists, cleanly skipped otherwise); without PIL — as in this container —
+fake=False raises NotImplementedError at the exact boundary a cv2/PIL call
+belongs. Audio/video real decode stays a NotImplementedError boundary
+either way (librosa/ffmpeg are heavier deps than this repo carries).
 
 The fake decode is ORACLE-EXACT, not just deterministic: every derived
 column is a pure function of md5 over the payload's lowercase hex
@@ -69,6 +73,55 @@ def synthesize_media(spark, n: int, seed: int = 42) -> DataFrame:
     )
 
 
+def _import_pil():
+    """Import-if-available PIL (runs inside the executor batch fn, once per
+    batch). Raises NotImplementedError — the documented real-media boundary —
+    when Pillow isn't installed."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — executor-side optional dep
+    except ImportError as ex:
+        raise NotImplementedError(
+            "real media decode requires Pillow (pip install Pillow); "
+            "pass fake=True for the deterministic oracle-exact stub"
+        ) from ex
+    return Image
+
+
+def _decode_real(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real image decode via PIL: width/height from the decoded image,
+    features = 8 grayscale means over a 4x2 thumbnail (a fixed-width stand-in
+    for a real embedding). Audio/video remain a NotImplementedError boundary
+    (librosa/ffmpeg); callers filter to kind='image' first."""
+    import io
+
+    Image = _import_pil()
+    kinds = set(pdf["kind"])
+    if kinds - {"image"}:
+        raise NotImplementedError(
+            f"real decode implemented for images only (got kinds {sorted(kinds)}); "
+            "filter to kind='image' — audio/video need librosa/ffmpeg"
+        )
+    payloads = [bytes(p or b"") for p in pdf["payload"]]
+    widths, heights, feats = [], [], []
+    for p in payloads:
+        with Image.open(io.BytesIO(p)) as im:
+            widths.append(im.width)
+            heights.append(im.height)
+            px = list(im.convert("L").resize((4, 2)).getdata())
+        feats.append([v / 255.0 for v in px])
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"].to_numpy(),
+            "kind": pdf["kind"].to_numpy(),
+            "n_bytes": [len(p) for p in payloads],
+            "checksum": [hashlib.md5(p.hex().encode()).hexdigest() for p in payloads],
+            "width": widths,
+            "height": heights,
+            "features": feats,
+        }
+    )
+
+
 def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract each media payload. Arrow-batched
     mapInPandas: one pandas batch of binary payloads in, one batch of
@@ -78,9 +131,8 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real media decode requires cv2/PIL/librosa — not in this container"
-                )
+                yield _decode_real(pdf)
+                continue
             # column-wise over the Arrow batch (no iterrows): hashing is
             # inherently per-payload, everything else is list/ndarray ops.
             # checksum = md5 of the payload's LOWERCASE HEX — the cross-engine
@@ -122,15 +174,28 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64, fake: bool =
     fake=True derives the "resized" payload deterministically from the
     source bytes + target size (blake2b keyed stream of width*height/16
     bytes — output size scales with the requested resolution like a real
-    thumbnail would); fake=False raises NotImplementedError where the
-    PIL/cv2 call belongs (no image libs in this container)."""
+    thumbnail would); fake=False decodes + resizes + re-encodes PNG through
+    PIL when importable, and raises NotImplementedError at the PIL boundary
+    otherwise (no image libs in this container)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL/cv2 — not in this container"
-                )
+                import io
+
+                Image = _import_pil()
+                out_payloads = []
+                for p in pdf["payload"]:
+                    with Image.open(io.BytesIO(bytes(p or b""))) as im:
+                        buf = io.BytesIO()
+                        im.resize((width, height)).save(buf, format="PNG")
+                    out_payloads.append(buf.getvalue())
+                out = pdf.copy()
+                out["payload"] = out_payloads
+                out["width"] = width
+                out["height"] = height
+                yield out
+                continue
             n_out = max(16, width * height // 16)
             out_payloads = []
             for p in pdf["payload"]:

@@ -24,6 +24,20 @@ reference handler:
     the hardcoded 0.7 ann_linker threshold still gates (ann_linker.py:82),
     so the REST knob is a documented no-op there (BASELINE.md quirk list;
     SURVEY F4/F5 notes). We preserve the parameter surface, not the bug.
+
+Concurrency model (documented divergence from the reference): the reference
+serves with gunicorn prefork, cpu*2+1 WORKER PROCESSES each holding its own
+nmslib index (cli/serve.py:15,52-59) — scale-out there is web workers. A
+Spark driver inverts that: the session object is one-per-JVM and the
+executors (not web workers) are the scale-out, so this server is a single
+process with ThreadingHTTPServer handler THREADS sharing the one
+SparkSession. Spark's SQL execution is thread-safe per action; request
+isolation for cached state comes from memo_scope() (contextvar-scoped memo
+registration — a handler releases only its own memos; racing /link POSTs
+are stress-tested in tests/test_serve.py). A gunicorn-style --n-workers
+prefork would mean N full SparkSessions on one host — the wrong resource
+model; run N driver hosts behind a balancer if process-level isolation is
+required.
 """
 
 from __future__ import annotations

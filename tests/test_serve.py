@@ -256,3 +256,60 @@ def test_coercible_string_offsets_link_and_rezip(spark):
              "context": "NLP is fun"}]
     out = link_documents(spark, model, docs)
     assert out[0]["spans"][0]["id"] == "a3"
+
+
+def test_concurrent_link_posts_no_cross_release(spark):
+    """VERDICT r4 item 6: two RACING /link POSTs against the live threaded
+    server — ThreadingHTTPServer runs handlers concurrently, and each
+    handler's memo_scope must release only its own memos. Both requests must
+    return correct ids (a cross-release would unpersist / delete tables the
+    other request's plan is mid-join on, failing or corrupting it), and the
+    global memo registry must be exactly as before."""
+    import queue
+
+    from spacy_ann_linker_spark.link import linker as linker_mod
+    from spacy_ann_linker_spark.link.serve import make_server
+    from spacy_ann_linker_spark.pipeline import build_golden_model
+
+    model = build_golden_model(spark, min_df=1)
+    server = make_server(spark, model, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    before = list(linker_mod._PERSISTED_MEMOS)
+    results: "queue.Queue" = queue.Queue()
+
+    def post(text, start, end, context, expect):
+        body = json.dumps(
+            {"documents": [{"spans": [{"text": text, "start": start, "end": end,
+                                       "label": "SKILL"}], "context": context}]}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/link", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=180) as resp:
+                got = json.loads(resp.read())["documents"][0]["spans"][0]["id"]
+            results.put((expect, got))
+        except Exception as ex:  # noqa: BLE001 — surface in the main thread
+            results.put((expect, f"error: {ex}"))
+
+    try:
+        threads = [
+            threading.Thread(target=post, args=("NLP", 0, 3, "NLP is fun", "a3")),
+            threading.Thread(
+                target=post,
+                args=("machine learning", 0, 16, "machine learning rules", "a1"),
+            ),
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(300)
+        outcomes = [results.get(timeout=5) for _ in threads]
+        for expect, got in outcomes:
+            assert got == expect, outcomes
+        assert linker_mod._PERSISTED_MEMOS == before
+    finally:
+        server.shutdown()

@@ -678,6 +678,18 @@ def _q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=8)
 
 
+def _q_lsh_verified_jaccard(spark, sf_dir):
+    """The composed scale-path dedup recipe: LSH candidates -> exact Jaccard
+    verify on pairs only (precision exact, recall = LSH collision prob)."""
+    from spacy_ann_linker_spark.extras.dedup import lsh_verified_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    out = lsh_verified_jaccard_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
+
+
 def _q_simhash(spark, sf_dir):
     from spacy_ann_linker_spark.extras.dedup import simhash
 
@@ -914,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_block_pairs": _q_prefix_block_pairs,
         "event_time_window": _q_event_time_window,
         "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_lsh_jaccard": _q_lsh_verified_jaccard,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_lsh": _q_simhash_lsh,
         "ann_ivf_topk": _q_ivf_topk,
@@ -1688,6 +1701,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
         WHERE a.doc_id < b.doc_id
+        """,
+        "dedup_lsh_jaccard": r"""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents WHERE doc_id < 200
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                                       i -> substring(t, i, 3))) AS g
+          FROM norm
+        ), seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+        sigs AS (
+          SELECT doc_id, seed,
+                 min((('0x' || substr(md5(seed || ':' || g), 1, 15))::UBIGINT)::BIGINT) AS minhash
+          FROM grams, seeds GROUP BY doc_id, seed
+        ), bands AS (
+          SELECT doc_id, seed // 4 AS band,
+                 md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed)) AS bucket
+          FROM sigs GROUP BY doc_id, seed // 4
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id < b.doc_id
+        ), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               round(i.shared * 1.0 / (sa.sz + sb.sz - i.shared), 6) AS jaccard
+        FROM cand c
+        JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE i.shared * 1.0 / (sa.sz + sb.sz - i.shared) > 0.5
         """,
         "dedup_simhash": r"""
         WITH norm AS (

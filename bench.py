@@ -217,6 +217,7 @@ def run_bench(cpus: int) -> dict:
         "t1_cosine_topk",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
+        "dedup_lsh_jaccard",
         "text_quality_score",
         "text_unigram_logprob",
         "sessionize_events",
@@ -231,13 +232,16 @@ def run_bench(cpus: int) -> dict:
         _noop(queries[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # crossover evidence (VERDICT r3 item 7): exact vs blocked at two turn
-    # counts as first-class JSON rows, not prose. BASELINE.md's claim — the
-    # blocked path reaches parity around ~1.6M turns and is the 100 TB
-    # default on variance grounds — must be reproducible from BENCH alone.
+    # crossover evidence (VERDICT r3 item 7, r4 item 7): exact vs blocked at
+    # THREE turn counts as first-class JSON rows, not prose — 100k (exact
+    # wins), 1.6M (parity region), 12.8M (the mention-saturated regime where
+    # BASELINE.md's pooled-variance read lives: exact spread 47.6-120 s vs
+    # blocked 52.5-63.9 s). BASELINE.md's claim — the blocked path reaches
+    # parity around ~1.6M turns and is the 100 TB default on VARIANCE and
+    # bounded-worst-case grounds — must be reproducible from BENCH alone.
     # Single-shot timings (the session is already steady-state from the
     # headline legs; a second warmup per leg would double the cost of the
-    # 1.6M rows), truncate_memos=True at >= 1M turns per the r3 finding.
+    # large legs), truncate_memos=True at >= 1M turns per the r3 finding.
     crossover: dict = {}
     if not os.environ.get("SPARK_GRAFT_LINK_ONLY") and os.environ.get(
         "SPARK_GRAFT_CROSSOVER", "1"
@@ -247,7 +251,7 @@ def run_bench(cpus: int) -> dict:
         sizes = [
             int(x)
             for x in os.environ.get(
-                "SPARK_GRAFT_CROSSOVER_TURNS", "100000,1600000"
+                "SPARK_GRAFT_CROSSOVER_TURNS", "100000,1600000,12800000"
             ).split(",")
         ]
         for n in sizes:

@@ -176,6 +176,46 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_verified_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The composed 100 TB dedup recipe: MinHash-LSH candidate pairs, then
+    EXACT n-gram Jaccard computed only on those candidates — precision is
+    exact (every emitted pair truly exceeds the threshold), recall is the
+    LSH collision probability (1-(1-s^r)^b; tunable via num_hashes/bands).
+
+    Cost shape: candidate generation is linear in corpus + bucket
+    collisions (never all-pairs — contrast ngram_jaccard_pairs, whose
+    inverted-index self-join is quadratic per shared gram and exists as
+    small-scale ground truth). Verification joins each doc's DISTINCT gram
+    ARRAY onto the candidate pairs (two hash joins keyed by id, payload
+    rides only on candidate-pair-sized rows) and folds the Jaccard in-row
+    with array_intersect — no explode, no per-gram shuffle.
+    -> (id_a, id_b, jaccard), jaccard > threshold."""
+    cands = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands)
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(char_ngrams_col(F.col(text_col), n)).alias("grams"),
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("_ga"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size("_ga") + F.size("_gb") - inter
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .filter(F.col("jaccard") > F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 60) -> DataFrame:
     """60-bit SimHash over char n-grams: per-bit majority vote of gram
     hashes (cross-engine _h60, so the whole signature is oracle-exact in

@@ -600,3 +600,61 @@ def test_multimodal_real_decode_with_pil(spark):
     # audio/video stay a NotImplementedError boundary even with PIL present
     with pytest.raises(Exception, match="images only"):
         decode_features(synthesize_media(spark, 3), fake=False).collect()
+
+
+def test_scrub_counts_raw_text_nested_matches(spark):
+    """Counting contract (why scrub uses separate per-pattern scans, not one
+    alternation pass): counts are on RAW text, so an email nested inside a
+    URL counts for BOTH n_urls and n_emails — a single alternation scan
+    would consume the URL and undercount n_emails. The replace order still
+    means the nested email disappears inside <URL> in clean_text."""
+    from spacy_ann_linker_spark.extras.text_analysis import scrub_text
+
+    df = spark.createDataFrame(
+        [(1, "see https://x.example/mail?to=a@b.cd for details")],
+        "doc_id long, text string",
+    )
+    r = scrub_text(df, "doc_id", "text").collect()[0]
+    assert (r["n_urls"], r["n_emails"]) == (1, 1)
+    assert r["clean_text"] == "see <URL> for details"
+
+
+def test_lsh_verified_jaccard_exact_precision(spark):
+    """Composed dedup recipe (LSH candidates -> exact Jaccard verify):
+    every emitted pair must carry the EXACT Jaccard value (equal to the
+    ground-truth all-pairs join) — precision 1.0 by construction; the pair
+    set is exactly (exact pairs) ∩ (LSH candidates)."""
+    from spacy_ann_linker_spark.extras.dedup import (
+        lsh_verified_jaccard_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dogs"),
+            (3, "a completely different sentence about spark engines"),
+            (4, "a completely different sentence about spark engine"),
+            (5, "nothing like the others at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in lsh_verified_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert set(got) == set(exact) & cands
+    for k, v in got.items():
+        assert v == exact[k], (k, v, exact[k])
+    assert (1, 2) in got and (3, 4) in got  # near-dups survive the pipeline

@@ -40,7 +40,7 @@ def minhash_band_keys(
     s=0.5).
 
     ONE groupBy with num_hashes min-aggregators (the extras/dedup.py
-    minhash_signatures shape) — NOT an explode over seeds, which multiplied
+    _minhash_wide shape) — NOT an explode over seeds, which multiplied
     the shuffle input num_hashes-fold on every call; this runs per BATCH on
     the mention side of the declared 100 TB blocked path, so the map-side
     partial aggregation seeing each gram row exactly once is the property

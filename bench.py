@@ -255,31 +255,38 @@ def run_bench(cpus: int) -> dict:
             ).split(",")
         ]
         for n in sizes:
-            path = f"/tmp/bench_transcripts_n{n}"
-            if not os.path.exists(path):
-                generate_full(spark, n).write.mode("overwrite").parquet(path)
-            full_n = spark.read.parquet(path)
-            turns_n = full_n.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-            mentions_n = _gold_mentions(full_n)
-            row: dict = {}
-            for label, blocked_flag in (("exact", False), ("blocked", True)):
-                release_memos()
-                t0 = time.perf_counter()
-                _noop(
-                    link_transcripts(
-                        model,
-                        turns_n,
-                        mentions=mentions_n,
-                        fuzzy_rescue=True,
-                        use_blocking=blocked_flag,
-                        truncate_memos=True if n >= 1_000_000 else None,
+            # per-size try/except: a failed/interrupted large leg must not
+            # cost the WHOLE bench JSON (the driver records one line or
+            # nothing) — degrade to an error entry for that size instead
+            try:
+                path = f"/tmp/bench_transcripts_n{n}"
+                if not os.path.exists(path):
+                    generate_full(spark, n).write.mode("overwrite").parquet(path)
+                full_n = spark.read.parquet(path)
+                turns_n = full_n.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+                mentions_n = _gold_mentions(full_n)
+                row: dict = {}
+                for label, blocked_flag in (("exact", False), ("blocked", True)):
+                    release_memos()
+                    t0 = time.perf_counter()
+                    _noop(
+                        link_transcripts(
+                            model,
+                            turns_n,
+                            mentions=mentions_n,
+                            fuzzy_rescue=True,
+                            use_blocking=blocked_flag,
+                            truncate_memos=True if n >= 1_000_000 else None,
+                        )
                     )
-                )
-                sec = time.perf_counter() - t0
-                row[f"{label}_sec"] = round(sec, 3)
-                row[f"{label}_turns_per_sec"] = round(n / sec, 1)
-            release_memos()
-            crossover[f"n{n}"] = row
+                    sec = time.perf_counter() - t0
+                    row[f"{label}_sec"] = round(sec, 3)
+                    row[f"{label}_turns_per_sec"] = round(n / sec, 1)
+                release_memos()
+                crossover[f"n{n}"] = row
+            except Exception as ex:  # noqa: BLE001 — degrade, don't die
+                release_memos()
+                crossover[f"n{n}"] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
 
     total = round(sum(timings.values()), 3)
     return {

@@ -59,3 +59,64 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     so the planner elides the Exchange when joining/aggregating on the
     bucket key (assert with .explain: no Exchange above this scan)."""
     return spark.table(table)
+
+
+# Each LinkageModel artifact with the key every linker join uses on it.
+# short_aliases is a tiny bypass set (always broadcast) — plain table.
+_MODEL_BUCKET_KEYS = {
+    "kb_entities": "id",  # disambiguation entity-vector join (linker.py)
+    "kb_alias_map": "alias",  # alias -> entity expansion (J6)
+    "vocab": "ngram",  # TF-IDF transform gram lookup (V2)
+    "alias_vectors": "idx",  # inverted-index cosine join (J2)
+    "aliases": "alias",  # exact fast path + gazetteer (J5)
+}
+
+
+def publish_model_bucketed(model, database: str, buckets: int = 64) -> None:
+    """Publish a fitted LinkageModel's artifacts as catalog tables, each
+    bucketed on the key the linker joins it on. One-time layout cost at
+    model-publish time; every mention batch thereafter joins the static
+    side with its Exchange elided — the cluster-scale analog of the
+    reference holding its fitted index resident in one process
+    (candidate_generator.py:108-117). Use with the linker's
+    `broadcast_*=False` knobs: bucketing is the lever precisely when the
+    gazetteer outgrows broadcast."""
+    spark = model.cand.alias_vectors.sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    frames = {
+        "kb_entities": model.kb.entities,
+        "kb_alias_map": model.kb.alias_map,
+        "vocab": model.cand.tfidf.vocab,
+        "alias_vectors": model.cand.alias_vectors,
+        "aliases": model.cand.aliases,
+    }
+    for name, df in frames.items():
+        write_bucketed(df, f"{database}.{name}", _MODEL_BUCKET_KEYS[name], buckets=buckets)
+    model.kb.short_aliases.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{database}.short_aliases"
+    )
+
+
+def load_model_bucketed(spark: SparkSession, database: str, min_df: int = 2):
+    """Reconstruct a LinkageModel over the bucketed catalog tables written
+    by publish_model_bucketed. Same schema and rows as the parquet-directory
+    load — only the physical layout differs, so every linker output is
+    row-identical (tests/test_bucketed.py asserts this end-to-end)."""
+    from spacy_ann_linker_spark.candidates.generate import CandidateModel
+    from spacy_ann_linker_spark.kb.build import KnowledgeBase
+    from spacy_ann_linker_spark.pipeline import LinkageModel
+    from spacy_ann_linker_spark.vectorize.tfidf import TfidfModel
+
+    t = lambda name: spark.table(f"{database}.{name}")
+    kb = KnowledgeBase(
+        entities=t("kb_entities"),
+        alias_map=t("kb_alias_map"),
+        short_aliases=t("short_aliases"),
+    )
+    cand = CandidateModel(
+        tfidf=TfidfModel(vocab=t("vocab"), min_df=min_df),
+        alias_vectors=t("alias_vectors"),
+        short_aliases=kb.short_aliases,
+        aliases=t("aliases"),
+    )
+    return LinkageModel(kb=kb, cand=cand)

@@ -874,6 +874,50 @@ def _q_link_transcripts(spark, sf_dir):
     )
 
 
+# fixed query set for the BM25 oracle — terms drawn from the synthetic
+# documents vocabulary so every query matches a meaningful doc subset
+_BM25_QUERIES = [
+    ("q_joins", "hash join merge"),
+    ("q_window", "window sort order"),
+    ("q_stream", "stream batch data"),
+]
+
+
+def _q_bm25_score(spark, sf_dir):
+    """BM25 retrieval scoring (extras/retrieval.py): rank corpus documents
+    against a broadcast query set — the lexical decontamination / RAG
+    indexing operator. Okapi BM25, Lucene non-negative idf."""
+    from spacy_ann_linker_spark.extras.retrieval import bm25_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    out = bm25_score(docs, qs)
+    return out.select(
+        "query_id", "doc_id", "n_matched_terms", F.round("score", R).alias("score")
+    )
+
+
+def _q_cluster_pairwise_metrics(spark, sf_dir):
+    """Cluster-level pairwise P/R/F1 (evaluate.py): the standard ER
+    clustering metric as three linear groupBys (sum of C(n,2) over group
+    sizes — never materializes the quadratic pair space). Evaluates the
+    lang partition of documents against the source partition."""
+    from spacy_ann_linker_spark.evaluate import cluster_pairwise_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cluster_pairwise_metrics(
+        docs, docs, id_col="doc_id", pred_col="lang", gold_col="source"
+    )
+    return out.select(
+        "tp_pairs",
+        "pred_pairs",
+        "gold_pairs",
+        F.round("precision", R).alias("precision"),
+        F.round("recall", R).alias("recall"),
+        F.round("f1", R).alias("f1"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The flagship runs FIRST: r4's driver snapshot dropped the last dict
     # entry (50/51 rows recorded; the judge re-verified the missing flagship
@@ -930,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "dedup_simhash_lsh": _q_simhash_lsh,
         "ann_ivf_topk": _q_ivf_topk,
+        "bm25_score": _q_bm25_score,
+        "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
         "multimodal_decode": _q_multimodal,
     }
 
@@ -1737,6 +1783,66 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = c.id_a
         JOIN sizes sb ON sb.doc_id = c.id_b
         WHERE i.shared * 1.0 / (sa.sz + sb.sz - i.shared) > 0.5
+        """,
+        "bm25_score": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             w -> w <> '') AS toks
+          FROM documents
+        ), corpus AS (
+          SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toks
+        ), words AS (
+          SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+          FROM words GROUP BY doc_id, term
+        ), dft AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), q(query_id, query_text) AS (
+          VALUES ('q_joins', 'hash join merge'),
+                 ('q_window', 'window sort order'),
+                 ('q_stream', 'stream batch data')
+        ), qterms AS (
+          SELECT DISTINCT query_id,
+                 unnest(list_filter(regexp_split_to_array(lower(query_text), '\s+'),
+                                    w -> w <> '')) AS term
+          FROM q
+        )
+        SELECT query_id, doc_id, count(*) AS n_matched_terms,
+               round(sum(
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN qterms USING (term) JOIN dft USING (term) CROSS JOIN corpus
+        GROUP BY query_id, doc_id
+        """,
+        "cluster_pairwise_metrics": r"""
+        WITH j AS (SELECT doc_id, lang AS p, source AS g FROM documents),
+        pp AS (
+          SELECT coalesce(sum(c), 0) AS pred_pairs FROM (
+            SELECT (count(*) * (count(*) - 1)) // 2 AS c FROM j GROUP BY p)
+        ), gp AS (
+          SELECT coalesce(sum(c), 0) AS gold_pairs FROM (
+            SELECT (count(*) * (count(*) - 1)) // 2 AS c FROM j GROUP BY g)
+        ), tp AS (
+          SELECT coalesce(sum(c), 0) AS tp_pairs FROM (
+            SELECT (count(*) * (count(*) - 1)) // 2 AS c FROM j GROUP BY p, g)
+        )
+        SELECT tp_pairs::BIGINT AS tp_pairs,
+               pred_pairs::BIGINT AS pred_pairs,
+               gold_pairs::BIGINT AS gold_pairs,
+               round(CASE WHEN pred_pairs > 0
+                          THEN tp_pairs * 1.0 / pred_pairs ELSE 0.0 END, 6) AS precision,
+               round(CASE WHEN gold_pairs > 0
+                          THEN tp_pairs * 1.0 / gold_pairs ELSE 0.0 END, 6) AS recall,
+               round(CASE WHEN (CASE WHEN pred_pairs > 0 THEN tp_pairs * 1.0 / pred_pairs ELSE 0.0 END)
+                         + (CASE WHEN gold_pairs > 0 THEN tp_pairs * 1.0 / gold_pairs ELSE 0.0 END) > 0
+                          THEN 2 * (tp_pairs * 1.0 / pred_pairs) * (tp_pairs * 1.0 / gold_pairs)
+                             / (tp_pairs * 1.0 / pred_pairs + tp_pairs * 1.0 / gold_pairs)
+                          ELSE 0.0 END, 6) AS f1
+        FROM tp CROSS JOIN pp CROSS JOIN gp
         """,
         "dedup_simhash": r"""
         WITH norm AS (

@@ -14,6 +14,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cluster_pairwise_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "cluster",
+    gold_col: str = "cluster",
+) -> DataFrame:
+    """Pairwise precision/recall/F1 of a predicted clustering against a
+    gold clustering — the standard entity-resolution cluster metric, and
+    the cluster-level counterpart of pairwise_f1's instance-level check.
+
+    Never materializes pairs. Each count is a sum of C(n, 2) over group
+    sizes, so the whole evaluation is three map-side-combined groupBys
+    over |ids| rows — linear at 10^12-turn scale where the pair space is
+    quadratic:
+
+        pred_pairs = sum over predicted clusters c of C(|c|, 2)
+        gold_pairs = sum over gold clusters g of C(|g|, 2)
+        tp_pairs   = sum over contingency cells (c, g) of C(|cell|, 2)
+            (a pair is a true positive iff both ids share BOTH labels,
+             i.e. fall in the same contingency cell)
+
+    Population = ids present in both tables (inner join on id). Returns a
+    ONE-ROW DataFrame (tp_pairs, pred_pairs, gold_pairs, precision,
+    recall, f1) — no .collect(); callers compose or .first() as needed.
+    Singleton-only clusterings give 0 pairs; the 0/0 guards define those
+    ratios as 0.0.
+    """
+    joined = pred.select(
+        F.col(id_col).alias("id"), F.col(pred_col).alias("p")
+    ).join(
+        gold.select(F.col(id_col).alias("id"), F.col(gold_col).alias("g")),
+        "id",
+    )
+
+    # C(n,2) in pure long arithmetic (`div`, not `/` — Spark's `/` on longs
+    # routes through double, which silently loses exactness past 2^53 pairs)
+    pairs_of_n = F.expr("(n * (n - 1)) div 2")
+
+    def _sum_pairs(keys, alias):
+        return (
+            joined.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(pairs_of_n.alias("c"))
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).alias(alias))
+        )
+
+    pp = _sum_pairs(["p"], "pred_pairs")
+    gp = _sum_pairs(["g"], "gold_pairs")
+    tp = _sum_pairs(["p", "g"], "tp_pairs")
+    out = tp.crossJoin(F.broadcast(pp)).crossJoin(F.broadcast(gp))
+    prec = F.when(
+        F.col("pred_pairs") > 0, F.col("tp_pairs") / F.col("pred_pairs")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("gold_pairs") > 0, F.col("tp_pairs") / F.col("gold_pairs")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "tp_pairs",
+        "pred_pairs",
+        "gold_pairs",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )
+
+
 def pairwise_f1(links: DataFrame, labels: DataFrame) -> dict:
     """links: linker output (conv_id, turn_idx, text, start, entity_id, ...)
     labels: (conv_id, turn_idx, mention, start, gold_entity, block_key, ...)

@@ -1,0 +1,143 @@
+"""BM25 retrieval scoring — rank documents against a query set, fully
+JVM-side.
+
+The training-data-pipeline use cases: retrieval-based decontamination
+(score corpus docs against benchmark prompts, drop high scorers — the
+lexical complement of extras/text_analysis.decontaminate_overlap's exact
+13-gram join), RAG corpus indexing, and topic-targeted subset selection
+("give me the 1M docs that best match these seed queries").
+
+Okapi BM25 with the Lucene non-negative idf:
+
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(q, d) = sum over distinct t in q of
+                  idf(t) * tf_td * (k1 + 1) / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
+
+Plan shape at 100 TB (linear, three map-side-combined shuffles, no
+all-pairs anywhere):
+
+    words   docs -> in-row tokenize; dl = size(tokens) BEFORE the explode
+            (one Generate; avoids a second per-doc shuffle just for doc
+            length — dl rides each term row and the (doc, term) groupBy
+            takes first(dl))
+    tf      groupBy (doc_id, term)            shuffle 1, keyed by the pair
+            -> hot terms spread across docs, no Zipf reducer problem
+    df      tf.groupBy(term)                  shuffle 2; Zipf-hot terms are
+            a count-only agg (map-side combine caps reducer input)
+    N,avgdl one-row agg, crossJoin(broadcast) -- never a driver pull
+    join    query terms broadcast (a query set is KB-sized, not corpus-
+            sized); per-term stats carried on the same broadcast row
+    score   groupBy (query_id, doc_id)        shuffle 3, bounded by
+            |terms in q| rows per (q, d)
+
+Scoring only touches docs containing >= 1 query term — the broadcast
+equi-join IS the inverted-index probe, so corpus docs with no overlap are
+never shuffled past stage tf.
+
+The reference has no retrieval surface (it ranks alias candidates, not
+documents); this is a beyond-reference training-pipeline operator like the
+rest of extras/. Oracle: identical arithmetic in DuckDB (`bm25_score` in
+__spark_entry__.py), ln/round cross-engine exact at 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spacy_ann_linker_spark.extras.text_analysis import _words
+
+
+def bm25_score(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every (query, document) pair with BM25 over whitespace-lowered
+    tokens. Returns (query_id, doc_id, n_matched_terms, score) for pairs
+    sharing >= 1 term; zero-overlap pairs are absent by construction (their
+    score is 0 and emitting |Q|x|D| rows would defeat the inverted index).
+
+    `queries` is assumed broadcast-small (a benchmark suite, a seed set —
+    thousands, not billions). Corpus statistics (df, N, avgdl) come from
+    `docs` itself.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+
+    # corpus-level scalars first: N docs and mean doc length (tokenless
+    # docs count toward N/avgdl — they are part of the corpus even though
+    # they can never match)
+    corpus = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").cast("double").alias("avgdl"),
+    )
+
+    words = toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_words(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    # stats ride the broadcast: join df onto the small query-term side so
+    # the big tf table is probed exactly once
+    q_stats = F.broadcast(qterms.join(df_t, "term"))
+
+    scored = (
+        tf.join(q_stats, "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("contrib"),
+        )
+    )
+    return scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched_terms"),
+        F.sum("contrib").alias("score"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k docs per query by BM25. Tie-break on doc_id ascending so the
+    cut is deterministic across partitionings (floating-point-equal scores
+    happen whenever two docs share tf/dl profiles)."""
+    from pyspark.sql import Window
+
+    scored = bm25_score(docs, queries, **kwargs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

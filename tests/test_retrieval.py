@@ -1,0 +1,156 @@
+"""extras/retrieval.py (BM25) + evaluate.cluster_pairwise_metrics.
+
+BM25 values are checked against an independent pure-python computation of
+the same Okapi/Lucene formula; cluster metrics against hand-counted pair
+sets. Cross-engine DuckDB exactness is covered by the strict oracle gate
+(`bm25_score`, `cluster_pairwise_metrics` in __spark_entry__.py).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_ann_linker_spark.evaluate import cluster_pairwise_metrics
+from spacy_ann_linker_spark.extras.retrieval import bm25_score, bm25_topk
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog"),
+    ("d2", "the quick red fox"),
+    ("d3", "lazy summer dog days"),
+    ("d4", "quick quick quick sort algorithm"),
+    ("d5", ""),  # tokenless: counts toward N/avgdl, never matches
+]
+
+
+def _py_bm25(query_terms, k1=1.2, b=0.75):
+    """Independent reference: dict-based BM25 over DOCS."""
+    toks = {d: t.lower().split() for d, t in DOCS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for ws in toks.values():
+        for t in set(ws):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for d, ws in toks.items():
+        s, matched = 0.0, 0
+        for t in set(query_terms):
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(ws) / avgdl)
+            )
+        if matched:
+            out[d] = (matched, s)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_bm25_matches_python_reference(spark, docs_df):
+    qs = spark.createDataFrame(
+        [("q1", "quick fox"), ("q2", "lazy dog")],
+        "query_id string, query_text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_matched_terms"], r["score"])
+        for r in bm25_score(docs_df, qs).collect()
+    }
+    for qid, qtext in [("q1", "quick fox"), ("q2", "lazy dog")]:
+        expect = _py_bm25(qtext.split())
+        for d, (m, s) in expect.items():
+            gm, gs = got[(qid, d)]
+            assert gm == m, (qid, d)
+            assert gs == pytest.approx(s, abs=1e-12), (qid, d)
+        # no phantom zero-overlap rows
+        assert {d for (q, d) in got if q == qid} == set(expect)
+
+
+def test_bm25_rare_term_outscores_common(spark, docs_df):
+    """idf ordering: 'summer' (df=1) must outrank 'quick' (df=3) at tf=1
+    and comparable dl."""
+    qs = spark.createDataFrame(
+        [("q", "summer quick")], "query_id string, query_text string"
+    )
+    rows = {r["doc_id"]: r["score"] for r in bm25_score(docs_df, qs).collect()}
+    assert rows["d3"] > rows["d2"]  # summer match beats quick match
+
+
+def test_bm25_duplicate_query_terms_counted_once(spark, docs_df):
+    one = spark.createDataFrame([("q", "quick")], "query_id string, query_text string")
+    dup = spark.createDataFrame(
+        [("q", "quick quick quick")], "query_id string, query_text string"
+    )
+    a = sorted((r["doc_id"], r["score"]) for r in bm25_score(docs_df, one).collect())
+    b = sorted((r["doc_id"], r["score"]) for r in bm25_score(docs_df, dup).collect())
+    assert a == b
+
+
+def test_bm25_topk_deterministic_tiebreak(spark, docs_df):
+    qs = spark.createDataFrame([("q", "quick fox lazy dog")],
+                               "query_id string, query_text string")
+    top2 = bm25_topk(docs_df, qs, k=2)
+    rows = top2.orderBy(F.desc("score"), "doc_id").collect()
+    assert len(rows) == 2
+    full = {r["doc_id"]: r["score"] for r in bm25_score(docs_df, qs).collect()}
+    cutoff = sorted(full.values(), reverse=True)[1]
+    assert all(r["score"] >= cutoff for r in rows)
+
+
+def test_bm25_plan_is_jvm_only_with_broadcast_probe(spark, docs_df):
+    qs = spark.createDataFrame([("q", "quick fox")],
+                               "query_id string, query_text string")
+    plan = bm25_score(docs_df, qs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # query-term probe never shuffles tf
+
+
+# ---------------------------------------------------------- cluster metrics
+
+
+def test_cluster_pairwise_metrics_hand_counted(spark):
+    # pred: {a,b,c} {d,e}   gold: {a,b} {c,d,e}
+    # pred_pairs = 3 + 1 = 4; gold_pairs = 1 + 3 = 4
+    # tp cells: (p1,g1)={a,b}->1, (p1,g2)={c}->0, (p2,g2)={d,e}->1 => tp=2
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 2), ("e", 2)], "id string, cluster int"
+    )
+    gold = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 20), ("d", 20), ("e", 20)], "id string, cluster int"
+    )
+    r = cluster_pairwise_metrics(pred, gold).first()
+    assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (2, 4, 4)
+    assert r["precision"] == pytest.approx(0.5)
+    assert r["recall"] == pytest.approx(0.5)
+    assert r["f1"] == pytest.approx(0.5)
+
+
+def test_cluster_pairwise_metrics_perfect_and_singletons(spark):
+    pred = spark.createDataFrame([("a", 1), ("b", 1), ("c", 2)], "id string, cluster int")
+    r = cluster_pairwise_metrics(pred, pred).first()
+    assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (1, 1, 1)
+    assert r["f1"] == pytest.approx(1.0)
+
+    # all-singleton prediction: zero pred pairs must not divide by zero
+    singles = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, cluster int"
+    )
+    gold = spark.createDataFrame([("a", 1), ("b", 1), ("c", 1)], "id string, cluster int")
+    r = cluster_pairwise_metrics(singles, gold).first()
+    assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (0, 0, 3)
+    assert (r["precision"], r["recall"], r["f1"]) == (0.0, 0.0, 0.0)
+
+
+def test_cluster_pairwise_metrics_population_is_id_intersection(spark):
+    pred = spark.createDataFrame([("a", 1), ("b", 1), ("zz", 9)], "id string, cluster int")
+    gold = spark.createDataFrame([("a", 1), ("b", 1), ("yy", 9)], "id string, cluster int")
+    r = cluster_pairwise_metrics(pred, gold).first()
+    # zz/yy drop out; only {a,b} remains on both sides
+    assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (1, 1, 1)

@@ -227,6 +227,8 @@ def run_bench(cpus: int) -> dict:
         "a4b_mean_pool_table",
         "jw_similarity",
         "ann_ivf_topk",
+        "bm25_score",
+        "cluster_pairwise_metrics",
     ]:
         t0 = time.perf_counter()
         _noop(queries[name](spark, SF_DIR))

@@ -13,26 +13,33 @@ Okapi BM25 with the Lucene non-negative idf:
     score(q, d) = sum over distinct t in q of
                   idf(t) * tf_td * (k1 + 1) / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
 
-Plan shape at 100 TB (linear, three map-side-combined shuffles, no
-all-pairs anywhere):
+Plan shape at 100 TB (linear, single lineage — the corpus subtree is
+never computed twice, verified on the AQE-final plan):
 
-    words   docs -> in-row tokenize; dl = size(tokens) BEFORE the explode
-            (one Generate; avoids a second per-doc shuffle just for doc
-            length — dl rides each term row and the (doc, term) groupBy
-            takes first(dl))
-    tf      groupBy (doc_id, term)            shuffle 1, keyed by the pair
-            -> hot terms spread across docs, no Zipf reducer problem
-    df      tf.groupBy(term)                  shuffle 2; Zipf-hot terms are
-            a count-only agg (map-side combine caps reducer input)
-    N,avgdl one-row agg, crossJoin(broadcast) -- never a driver pull
-    join    query terms broadcast (a query set is KB-sized, not corpus-
-            sized); per-term stats carried on the same broadcast row
+    stats   one scan, NO Generate: N docs + avgdl from size(tokens)
+            in-row; one-row agg, crossJoin(broadcast) — never a driver pull
+    words   second scan -> explode -> inner broadcast-join against the
+            distinct query-term set. The filter runs BEFORE any shuffle,
+            so the heavy (doc, term) exchange carries only query-term
+            occurrences — at a 100-term query set vs a 10^5-term corpus
+            vocabulary this is the ~1000x shuffle-volume lever
+    tf      groupBy (doc_id, term)            shuffle 1, map-side
+            combined, keyed by the pair -> hot terms spread across docs
+    df      count(*) over (partition by term) on the tf OUTPUT (docs-with-
+            matches x query terms — the small derived table)  shuffle 2.
+            A window, not a groupBy+self-join: branching tf into an agg
+            and a join re-executes the whole scan->explode->shuffle
+            subtree (Spark's ReuseExchange does NOT rescue it, measured on
+            the AQE-final plan), while the window keeps lineage linear.
+            df over the filtered stream equals df over the full corpus for
+            every surviving term, so values are unchanged.
+    join    per-(query, term) rows broadcast back on term
     score   groupBy (query_id, doc_id)        shuffle 3, bounded by
             |terms in q| rows per (q, d)
 
 Scoring only touches docs containing >= 1 query term — the broadcast
-equi-join IS the inverted-index probe, so corpus docs with no overlap are
-never shuffled past stage tf.
+equi-join IS the inverted-index probe, so corpus docs with no overlap
+never leave their input partition.
 
 The reference has no retrieval surface (it ranks alias candidates, not
 documents); this is a beyond-reference training-pipeline operator like the
@@ -67,23 +74,19 @@ def bm25_score(
     thousands, not billions). Corpus statistics (df, N, avgdl) come from
     `docs` itself.
     """
+    from pyspark.sql import Window
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("toks")
     ).select("doc_id", F.size("toks").alias("dl"), "toks")
 
-    # corpus-level scalars first: N docs and mean doc length (tokenless
-    # docs count toward N/avgdl — they are part of the corpus even though
-    # they can never match)
+    # corpus-level scalars: N docs and mean doc length, from size() in-row
+    # — no explode on this branch. Tokenless docs count toward N/avgdl:
+    # they are part of the corpus even though they can never match.
     corpus = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").cast("double").alias("avgdl"),
     )
-
-    words = toks.select("doc_id", "dl", F.explode("toks").alias("term"))
-    tf = words.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
-    )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     qterms = (
         queries.select(
@@ -92,12 +95,25 @@ def bm25_score(
         )
         .distinct()
     )
-    # stats ride the broadcast: join df onto the small query-term side so
-    # the big tf table is probed exactly once
-    q_stats = F.broadcast(qterms.join(df_t, "term"))
+    qset = qterms.select("term").distinct()
+
+    # broadcast-filter BEFORE the shuffle: only query-term occurrences
+    # reach the (doc, term) exchange
+    words = toks.select("doc_id", "dl", F.explode("toks").alias("term")).join(
+        F.broadcast(qset), "term"
+    )
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    # df as a window over the tf output keeps lineage LINEAR (see module
+    # docstring); equals full-corpus df for every term that survives the
+    # query filter
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
 
     scored = (
-        tf.join(q_stats, "term")
+        tf.join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(corpus))
         .select(
             "query_id",

@@ -110,6 +110,22 @@ def test_bm25_plan_is_jvm_only_with_broadcast_probe(spark, docs_df):
     plan = bm25_score(docs_df, qs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # query-term probe never shuffles tf
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_corpus_scanned_exactly_twice(spark, docs_df, tmp_path):
+    """Linear lineage: the corpus contributes exactly 2 scans (stats
+    branch + filtered words branch). A third scan means df regressed to
+    the branching groupBy+join shape that re-executes the explode/shuffle
+    subtree (ReuseExchange does not rescue it — measured on the AQE-final
+    plan)."""
+    p = str(tmp_path / "docs.parquet")
+    docs_df.write.parquet(p)
+    docs = spark.read.parquet(p)
+    qs = spark.createDataFrame([("q", "quick fox")],
+                               "query_id string, query_text string")
+    plan = bm25_score(docs, qs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan[:3000]
 
 
 # ---------------------------------------------------------- cluster metrics

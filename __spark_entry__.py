@@ -897,6 +897,16 @@ def _q_bm25_score(spark, sf_dir):
     )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Exact-count deterministic stratified sample (extras/sampling.py):
+    the 3 lowest-md5 docs per source — the balanced-training-mix operator,
+    map-side pruned via WindowGroupLimit (plan-asserted in tests)."""
+    from spacy_ann_linker_spark.extras.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    return stratified_sample(docs, "source", 3, "doc_id")
+
+
 def _q_cluster_pairwise_metrics(spark, sf_dir):
     """Cluster-level pairwise P/R/F1 (evaluate.py): the standard ER
     clustering metric as three linear groupBys (sum of C(n,2) over group
@@ -975,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_lsh": _q_simhash_lsh,
         "ann_ivf_topk": _q_ivf_topk,
         "bm25_score": _q_bm25_score,
+        "stratified_sample": _q_stratified_sample,
         "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
         "multimodal_decode": _q_multimodal,
     }
@@ -1817,6 +1828,16 @@ def oracle_sql() -> dict[str, str]:
                ), 6) AS score
         FROM tf JOIN qterms USING (term) JOIN dft USING (term) CROSS JOIN corpus
         GROUP BY query_id, doc_id
+        """,
+        "stratified_sample": r"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR) ASC, doc_id::VARCHAR ASC
+                 ) AS rn
+          FROM documents
+        ) WHERE rn <= 3
         """,
         "cluster_pairwise_metrics": r"""
         WITH j AS (SELECT doc_id, lang AS p, source AS g FROM documents),

@@ -228,6 +228,7 @@ def run_bench(cpus: int) -> dict:
         "jw_similarity",
         "ann_ivf_topk",
         "bm25_score",
+        "stratified_sample",
         "cluster_pairwise_metrics",
     ]:
         t0 = time.perf_counter()

@@ -69,6 +69,50 @@ def deterministic_split(
     return df.withColumn(out_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """EXACT-count deterministic stratified sample: the n rows per stratum
+    whose md5(seed || key) sorts lowest (all rows when a stratum is
+    smaller). The balanced-training-mix operator — "100k docs per source /
+    per language" — with the same reproducibility contract as
+    deterministic_split: a pure function of (seed, key), stable across
+    runs, partitionings, and cluster sizes, and incremental-friendly (a
+    grown stratum only swaps rows at the hash boundary).
+
+    `df.sampleBy` can do none of that: it is Bernoulli per row (approximate
+    count, no exact n), and resampling the grown corpus reshuffles
+    yesterday's picks.
+
+    Scale shape: row_number over (partition by stratum order by hash) looks
+    like a full sort of every stratum, but Spark >= 3.5 plans the rank <= n
+    filter as WindowGroupLimit — each MAP task pre-prunes to its local
+    top-n per stratum BEFORE the exchange, so the shuffle carries at most
+    n * num_input_partitions rows per stratum, not the stratum
+    (tests/test_sampling.py plan-asserts the WindowGroupLimit node; a
+    Zipf-hot stratum therefore costs the reducer O(n * partitions), not
+    O(|stratum|)).
+
+    Ties: md5 collisions aside, (hash, key) is a total order, so the cut is
+    unique — DuckDB replays it exactly (`stratified_sample` oracle).
+    """
+    hash_col = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_col.asc(), F.col(key_col).cast("string").asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     shard_col: str,

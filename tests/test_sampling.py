@@ -137,3 +137,54 @@ def test_cdc_chunks_reference_parity_and_invariance(spark):
     lost = base - edited
     assert len(lost) <= 2 * n_docs, (len(lost), n_docs)  # ~1 boundary chunk per doc
     assert len(base & edited) >= len(base) - 2 * n_docs
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    import hashlib
+
+    from spacy_ann_linker_spark.extras.sampling import stratified_sample
+
+    rows = [(f"id{i}", "big" if i < 40 else ("mid" if i < 50 else "tiny"))
+            for i in range(52)]  # strata of 40 / 10 / 2
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+
+    out = stratified_sample(df, "source", 5, "doc_id").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    # exact n per stratum; undersized strata return whole
+    assert len(by["big"]) == 5 and len(by["mid"]) == 5 and len(by["tiny"]) == 2
+
+    # the picks ARE the n lowest md5(key) per stratum (python reference)
+    for src, n in [("big", 5), ("mid", 5), ("tiny", 2)]:
+        keys = [k for k, s in rows if s == src]
+        expect = set(sorted(keys, key=lambda k: (hashlib.md5(k.encode()).hexdigest(), k))[:n])
+        assert by[src] == expect, src
+
+    # partition-invariant
+    again = stratified_sample(df.repartition(7), "source", 5, "doc_id").collect()
+    assert {(r["doc_id"], r["source"]) for r in again} == {
+        (r["doc_id"], r["source"]) for r in out
+    }
+
+    # seed changes the picks (on the big stratum, overwhelmingly)
+    seeded = stratified_sample(df, "source", 5, "doc_id", seed="v2").collect()
+    assert {(r["doc_id"], r["source"]) for r in seeded} != {
+        (r["doc_id"], r["source"]) for r in out
+    }
+
+
+def test_stratified_sample_plan_has_window_group_limit(spark):
+    """The rank<=n filter must plan as WindowGroupLimit (map-side per-group
+    pruning before the exchange) — without it a Zipf-hot stratum sorts in
+    full on one reducer."""
+    from spacy_ann_linker_spark.extras.sampling import stratified_sample
+
+    df = spark.createDataFrame([("a", "s")], "doc_id string, source string")
+    plan = (
+        stratified_sample(df, "source", 5, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan[:2000]

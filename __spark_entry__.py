@@ -671,6 +671,34 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _q_golden_records(spark, sf_dir):
+    """The full ER lifecycle ending in the merge step: n-gram Jaccard
+    pairs -> connected components -> per-cluster golden record via
+    survivorship rules (cluster/survivorship.py — longest text,
+    most-frequent lang/source, max n_chars), singletons surviving as
+    themselves. All hash/sort aggregations, no windows, no pair blow-up."""
+    from spacy_ann_linker_spark.cluster.cc import connected_components_long
+    from spacy_ann_linker_spark.cluster.survivorship import golden_records
+    from spacy_ann_linker_spark.extras.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components_long(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("_cid")
+    )
+    assigned = docs.join(comp, "doc_id", "left").withColumn(
+        "canonical_id", F.coalesce(F.col("_cid"), F.col("doc_id"))
+    )
+    return golden_records(
+        assigned,
+        "canonical_id",
+        "doc_id",
+        {"text": "longest", "lang": "most_frequent",
+         "source": "most_frequent", "n_chars": "max"},
+    )
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from spacy_ann_linker_spark.extras.dedup import minhash_lsh_pairs
 
@@ -956,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "golden_records": _q_golden_records,
         "text_token_count": _q_token_count,
         "text_token_count_bpe": _q_token_count_bpe,
         "text_quality_score": _q_quality,
@@ -1382,6 +1411,71 @@ def oracle_sql() -> dict[str, str]:
           SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
         )
         SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
+        """,
+        "golden_records": r"""
+        WITH RECURSIVE norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents WHERE doc_id < 150
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                                       i -> substring(t, i, 3))) AS g
+          FROM norm
+        ), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE shared * 1.0 / (sa.sz + sb.sz - shared) > 0.5
+        ), und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+        ),
+        comp AS (SELECT node AS doc_id, min(r) AS cid FROM reach GROUP BY node),
+        assigned AS (
+          SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+                 coalesce(c.cid, d.doc_id) AS canonical_id
+          FROM documents d LEFT JOIN comp c USING (doc_id)
+          WHERE d.doc_id < 150
+        ),
+        base AS (
+          SELECT canonical_id, count(*) AS cluster_size, max(n_chars) AS n_chars
+          FROM assigned GROUP BY canonical_id
+        ),
+        tx AS (
+          SELECT canonical_id, text FROM (
+            SELECT canonical_id, text, row_number() OVER (
+              PARTITION BY canonical_id
+              ORDER BY coalesce(length(text), -1) DESC, doc_id ASC) AS rn
+            FROM assigned) WHERE rn = 1
+        ),
+        lg AS (
+          SELECT canonical_id, lang FROM (
+            SELECT canonical_id, lang, row_number() OVER (
+              PARTITION BY canonical_id ORDER BY cnt DESC, lang ASC) AS rn
+            FROM (SELECT canonical_id, lang, count(*) AS cnt FROM assigned
+                  WHERE lang IS NOT NULL GROUP BY canonical_id, lang))
+          WHERE rn = 1
+        ),
+        sc AS (
+          SELECT canonical_id, source FROM (
+            SELECT canonical_id, source, row_number() OVER (
+              PARTITION BY canonical_id ORDER BY cnt DESC, source ASC) AS rn
+            FROM (SELECT canonical_id, source, count(*) AS cnt FROM assigned
+                  WHERE source IS NOT NULL GROUP BY canonical_id, source))
+          WHERE rn = 1
+        )
+        SELECT base.canonical_id, cluster_size, text, lang, source, n_chars
+        FROM base JOIN tx USING (canonical_id)
+        LEFT JOIN lg USING (canonical_id) LEFT JOIN sc USING (canonical_id)
         """,
         "text_token_count": r"""
         SELECT doc_id,

@@ -230,6 +230,7 @@ def run_bench(cpus: int) -> dict:
         "bm25_score",
         "stratified_sample",
         "cluster_pairwise_metrics",
+        "golden_records",
     ]:
         t0 = time.perf_counter()
         _noop(queries[name](spark, SF_DIR))

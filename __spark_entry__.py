@@ -671,6 +671,35 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _q_edit_distance_pairs(spark, sf_dir):
+    """Typo-tolerant ER comparator (extras/dedup.edit_distance_pairs):
+    exact-dedup part names (min key survives), 4-char prefix blocking,
+    banded-threshold Levenshtein verify on candidates only."""
+    from spacy_ann_linker_spark.extras.dedup import edit_distance_pairs
+
+    names = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .groupBy(F.lower(F.trim(F.col("p_name"))).alias("name"))
+        .agg(F.min("p_partkey").alias("id"))
+    )
+    return edit_distance_pairs(names, "id", "name", prefix_len=4, max_distance=3)
+
+
+def _q_blocking_quality(spark, sf_dir):
+    """Blocking-scheme evaluation (evaluate.blocking_quality): reduction
+    ratio / pairs completeness / pairs quality of a 3-char-prefix blocking
+    key against lang as gold — all sums of C(n,2) over group sizes, three
+    linear groupBys, never the pair space."""
+    from spacy_ann_linker_spark.evaluate import blocking_quality
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.substring(F.trim(F.lower(F.col("text"))), 1, 3).alias("block"),
+        F.col("lang").alias("cluster"),
+    )
+    return blocking_quality(docs, "id", "block", "cluster")
+
+
 def _q_golden_records(spark, sf_dir):
     """The full ER lifecycle ending in the merge step: n-gram Jaccard
     pairs -> connected components -> per-cluster golden record via
@@ -985,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "golden_records": _q_golden_records,
+        "blocking_quality": _q_blocking_quality,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         "text_token_count": _q_token_count,
         "text_token_count_bpe": _q_token_count_bpe,
         "text_quality_score": _q_quality,
@@ -1411,6 +1442,49 @@ def oracle_sql() -> dict[str, str]:
           SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
         )
         SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
+        """,
+        "edit_distance_pairs": r"""
+        WITH names AS (
+          SELECT min(p_partkey) AS id, lower(trim(p_name)) AS t
+          FROM part GROUP BY lower(trim(p_name))
+        ),
+        keyed AS (SELECT id, t, substring(t, 1, 4) AS bk FROM names)
+        SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.t, b.t) AS distance
+        FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.id < b.id
+        WHERE levenshtein(a.t, b.t) <= 3
+        """,
+        "blocking_quality": r"""
+        WITH base AS (
+          SELECT doc_id AS id, substring(trim(lower(text)), 1, 3) AS b, lang AS g
+          FROM documents
+        ),
+        cand AS (
+          SELECT coalesce(sum(n * (n - 1) // 2), 0) AS candidate_pairs FROM
+            (SELECT count(*) AS n FROM base WHERE b IS NOT NULL GROUP BY b)
+        ),
+        gold AS (
+          SELECT coalesce(sum(n * (n - 1) // 2), 0) AS gold_pairs FROM
+            (SELECT count(*) AS n FROM base GROUP BY g)
+        ),
+        cov AS (
+          SELECT coalesce(sum(n * (n - 1) // 2), 0) AS covered_pairs FROM
+            (SELECT count(*) AS n FROM base WHERE b IS NOT NULL GROUP BY b, g)
+        ),
+        tot AS (
+          SELECT count(*) AS n_records, count(*) * (count(*) - 1) // 2 AS total_pairs
+          FROM base
+        )
+        SELECT n_records, total_pairs, candidate_pairs, gold_pairs, covered_pairs,
+               CASE WHEN total_pairs > 0
+                    THEN 1.0 - candidate_pairs * 1.0 / total_pairs ELSE 0.0
+               END AS reduction_ratio,
+               CASE WHEN gold_pairs > 0
+                    THEN covered_pairs * 1.0 / gold_pairs ELSE 0.0
+               END AS pairs_completeness,
+               CASE WHEN candidate_pairs > 0
+                    THEN covered_pairs * 1.0 / candidate_pairs ELSE 0.0
+               END AS pairs_quality
+        FROM cov CROSS JOIN cand CROSS JOIN gold CROSS JOIN tot
         """,
         "golden_records": r"""
         WITH RECURSIVE norm AS (

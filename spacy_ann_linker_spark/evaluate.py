@@ -113,3 +113,77 @@ def pairwise_f1(links: DataFrame, labels: DataFrame) -> dict:
         "n_gold": n_gold,
         "n_correct": n_correct,
     }
+
+
+def blocking_quality(
+    records: DataFrame,
+    id_col: str = "id",
+    block_col: str = "block",
+    gold_col: str = "cluster",
+) -> DataFrame:
+    """Blocking-scheme quality — the metrics that decide whether a blocking
+    key is usable BEFORE paying for the comparison step (Christen's survey
+    triple; the reference has no blocking at all — its nmslib index probes
+    every alias — so this is the scale-side evaluation the engine's
+    LSH / sorted-neighborhood blockers are judged by):
+
+        reduction_ratio   = 1 - candidate_pairs / C(N, 2)
+        pairs_completeness = covered_gold_pairs / gold_pairs   (recall)
+        pairs_quality      = covered_gold_pairs / candidate_pairs (precision)
+
+    Assumes PARTITION blocking (each record carries at most one block key —
+    the shape of prefix / sorted-neighborhood keys; a null block key means
+    "not blocked": the record generates no candidate pairs but still counts
+    in N and in gold_pairs, so completeness honestly punishes dropping
+    records). Every count is a sum of C(n, 2) over group sizes — three
+    map-side-combined groupBys plus one count, never the pair space; long
+    `div` arithmetic keeps exactness past 2^53 pairs. Returns ONE row.
+    """
+    base = records.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("b"),
+        F.col(gold_col).alias("g"),
+    )
+    pairs_of_n = F.expr("(n * (n - 1)) div 2")
+
+    def _sum_pairs(df, keys, alias):
+        return (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(pairs_of_n.alias("c"))
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).alias(alias))
+        )
+
+    blocked = base.filter(F.col("b").isNotNull())
+    cand = _sum_pairs(blocked, ["b"], "candidate_pairs")
+    gold = _sum_pairs(base, ["g"], "gold_pairs")
+    cov = _sum_pairs(blocked, ["b", "g"], "covered_pairs")
+    tot = base.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_records"), pairs_of_n.alias("total_pairs")
+    )
+    out = (
+        cov.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(gold))
+        .crossJoin(F.broadcast(tot))
+    )
+    rr = F.when(
+        F.col("total_pairs") > 0,
+        1.0 - F.col("candidate_pairs") / F.col("total_pairs"),
+    ).otherwise(F.lit(0.0))
+    pc = F.when(
+        F.col("gold_pairs") > 0, F.col("covered_pairs") / F.col("gold_pairs")
+    ).otherwise(F.lit(0.0))
+    pq = F.when(
+        F.col("candidate_pairs") > 0,
+        F.col("covered_pairs") / F.col("candidate_pairs"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n_records",
+        "total_pairs",
+        "candidate_pairs",
+        "gold_pairs",
+        "covered_pairs",
+        rr.alias("reduction_ratio"),
+        pc.alias("pairs_completeness"),
+        pq.alias("pairs_quality"),
+    )

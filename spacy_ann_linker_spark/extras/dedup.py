@@ -216,6 +216,49 @@ def lsh_verified_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_len: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Edit-distance record pairs under sorted-neighborhood prefix blocking:
+    candidates share a `prefix_len`-char normalized prefix, then exact
+    Levenshtein verifies ONLY the candidates — the classic typo-tolerant ER
+    comparator (the reference's cosine path never sees transpositions;
+    Jaro-Winkler in functions/stringsim.py covers the rescue branch, this
+    covers bounded-edit matching on its own).
+
+    The verify uses Spark's THRESHOLD form `levenshtein(a, b, k)` — the
+    banded O(k·n) early-exit DP, not the full O(n·m) matrix — so cost per
+    candidate pair is bounded by the acceptance band regardless of string
+    length (the property that keeps verification affordable when a hot
+    block produces many candidates; -1 sentinel rows are filtered). Callers
+    should pre-dedup exact strings (exact_dedup / groupBy) so pair count is
+    quadratic in DISTINCT values per block, not rows; a Zipf-hot prefix is
+    governed by prefix_len or the salted variant of the blocking join
+    (candidates/blocking.py sorted_neighborhood_pairs salt_buckets).
+    -> (id_a, id_b, distance), distance <= max_distance."""
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.lower(F.trim(F.col(text_col))).alias("_t"),
+    ).withColumn("_bk", F.substring("_t", 1, prefix_len))
+    a = keyed.select(
+        F.col("_id").alias("id_a"), F.col("_t").alias("_ta"), "_bk"
+    )
+    b = keyed.select(
+        F.col("_id").alias("id_b"), F.col("_t").alias("_tb"), "_bk"
+    )
+    return (
+        a.join(b, "_bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("_ta", "_tb", max_distance))
+        .filter(F.col("distance") >= 0)
+        .select("id_a", "id_b", "distance")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 60) -> DataFrame:
     """60-bit SimHash over char n-grams: per-bit majority vote of gram
     hashes (cross-engine _h60, so the whole signature is oracle-exact in

@@ -658,3 +658,55 @@ def test_lsh_verified_jaccard_exact_precision(spark):
     for k, v in got.items():
         assert v == exact[k], (k, v, exact[k])
     assert (1, 2) in got and (3, 4) in got  # near-dups survive the pipeline
+
+
+# ---- edit_distance_pairs ----------------------------------------------------
+
+
+def test_edit_distance_pairs_hand_checked(spark):
+    from spacy_ann_linker_spark.extras.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "small ring"),
+        (2, "small rong"),   # dist 1 to id 1
+        (3, "small gizmo"),  # dist 4 to "small ring" -> dropped at k=3
+        (4, "SMALL RING "),  # normalizes equal to id 1 -> dist 0
+        (5, "tiny ring"),    # different 4-prefix: never a candidate
+    ]
+    df = spark.createDataFrame(rows, "id int, name string")
+    out = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in edit_distance_pairs(df, "id", "name", 4, 3).collect()
+    }
+    assert out == {(1, 2): 1, (1, 4): 0, (2, 4): 1}
+
+
+def test_edit_distance_pairs_matches_python_levenshtein(spark):
+    import itertools
+    import random
+
+    from spacy_ann_linker_spark.extras.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    words = ["".join(rng.choice("abc") for _ in range(rng.randint(3, 9))) for _ in range(40)]
+    rows = [(i, "pfx_" + w) for i, w in enumerate(words)]  # one shared block
+    expected = {
+        (i, j): lev(rows[i][1].lower(), rows[j][1].lower())
+        for i, j in itertools.combinations(range(len(rows)), 2)
+        if lev(rows[i][1].lower(), rows[j][1].lower()) <= 2
+    }
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in edit_distance_pairs(df, "id", "name", 4, 2).collect()
+    }
+    assert got == expected

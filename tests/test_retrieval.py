@@ -170,3 +170,56 @@ def test_cluster_pairwise_metrics_population_is_id_intersection(spark):
     r = cluster_pairwise_metrics(pred, gold).first()
     # zz/yy drop out; only {a,b} remains on both sides
     assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (1, 1, 1)
+
+
+# ---- blocking_quality -------------------------------------------------------
+
+
+def _bq(spark, rows):
+    from spacy_ann_linker_spark.evaluate import blocking_quality
+
+    df = spark.createDataFrame(rows, "id int, block string, cluster string")
+    return blocking_quality(df, "id", "block", "cluster").first().asDict()
+
+
+def test_blocking_quality_hand_counted(spark):
+    # 6 records; blocks: b1={1,2,3} b2={4,5}, unblocked={6}
+    # gold: g1={1,2,6} g2={3,4,5}
+    rows = [
+        (1, "b1", "g1"), (2, "b1", "g1"), (3, "b1", "g2"),
+        (4, "b2", "g2"), (5, "b2", "g2"), (6, None, "g1"),
+    ]
+    m = _bq(spark, rows)
+    assert m["n_records"] == 6 and m["total_pairs"] == 15
+    assert m["candidate_pairs"] == 3 + 1        # C(3,2)+C(2,2)
+    assert m["gold_pairs"] == 3 + 3             # two gold triples
+    # covered: (1,2) in b1/g1; (4,5) in b2/g2
+    assert m["covered_pairs"] == 2
+    assert m["reduction_ratio"] == pytest.approx(1 - 4 / 15)
+    assert m["pairs_completeness"] == pytest.approx(2 / 6)
+    assert m["pairs_quality"] == pytest.approx(2 / 4)
+
+
+def test_blocking_quality_perfect_block_equals_gold(spark):
+    rows = [(i, f"b{i % 3}", f"b{i % 3}") for i in range(12)]
+    m = _bq(spark, rows)
+    assert m["pairs_completeness"] == 1.0
+    assert m["pairs_quality"] == 1.0
+    assert m["covered_pairs"] == m["gold_pairs"] == m["candidate_pairs"]
+
+
+def test_blocking_quality_degenerate_zero_guards(spark):
+    # all unblocked + all-singleton gold: every ratio defined as 0 except rr
+    rows = [(1, None, "g1"), (2, None, "g2")]
+    m = _bq(spark, rows)
+    assert m["candidate_pairs"] == 0 and m["gold_pairs"] == 0
+    assert m["reduction_ratio"] == 1.0
+    assert m["pairs_completeness"] == 0.0 and m["pairs_quality"] == 0.0
+
+
+def test_blocking_quality_single_universal_block(spark):
+    # one block holding everything: no reduction, full completeness
+    rows = [(i, "b", "g" if i < 3 else "h") for i in range(6)]
+    m = _bq(spark, rows)
+    assert m["reduction_ratio"] == 0.0
+    assert m["pairs_completeness"] == 1.0

@@ -964,6 +964,35 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(docs, "source", 3, "doc_id")
 
 
+def _q_topk_terms(spark, sf_dir):
+    """Per-group heavy-hitter terms (extras/profiling.py): exact top-10
+    terms by frequency per language — vocabulary profiling / blocklist
+    seeding. Map-side combined count + WindowGroupLimit top-k
+    (plan-asserted in tests)."""
+    from spacy_ann_linker_spark.extras.profiling import topk_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("lang", "text")
+    return topk_terms(docs, "lang", 10)
+
+
+def _q_group_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (extras/profiling.py): doc-length
+    quartiles + p95 per source — the length/quality distribution profile
+    behind corpus-mixing decisions. Linear-interpolation percentile,
+    cross-engine exact vs DuckDB quantile_cont."""
+    from spacy_ann_linker_spark.extras.profiling import group_percentiles
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", F.length("text").alias("n_chars"))
+    )
+    out = group_percentiles(docs, "source", "n_chars")
+    return out.select(
+        "source",
+        *[F.round(c, R).alias(c) for c in ("p25", "p50", "p75", "p95")],
+    )
+
+
 def _q_cluster_pairwise_metrics(spark, sf_dir):
     """Cluster-level pairwise P/R/F1 (evaluate.py): the standard ER
     clustering metric as three linear groupBys (sum of C(n,2) over group
@@ -1047,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_score": _q_bm25_score,
         "stratified_sample": _q_stratified_sample,
         "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
+        "topk_terms": _q_topk_terms,
+        "group_percentiles": _q_group_percentiles,
         "multimodal_decode": _q_multimodal,
     }
 
@@ -2098,5 +2129,29 @@ def oracle_sql() -> dict[str, str]:
           SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
         )
         SELECT node, min(r) AS component FROM reach GROUP BY node
+        """,
+        "topk_terms": r"""
+        WITH words AS (
+          SELECT lang,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    w -> w <> '')) AS term
+          FROM documents
+        ), counts AS (
+          SELECT lang, term, count(*) AS n FROM words GROUP BY lang, term
+        )
+        SELECT lang, term, n FROM (
+          SELECT lang, term, n,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n DESC, term ASC) AS rn
+          FROM counts
+        ) WHERE rn <= 10
+        """,
+        "group_percentiles": r"""
+        SELECT source,
+               round(quantile_cont(length(text), 0.25), 6) AS p25,
+               round(quantile_cont(length(text), 0.50), 6) AS p50,
+               round(quantile_cont(length(text), 0.75), 6) AS p75,
+               round(quantile_cont(length(text), 0.95), 6) AS p95
+        FROM documents GROUP BY source
         """,
     }

@@ -231,6 +231,8 @@ def run_bench(cpus: int) -> dict:
         "stratified_sample",
         "cluster_pairwise_metrics",
         "golden_records",
+        "topk_terms",
+        "group_percentiles",
     ]:
         t0 = time.perf_counter()
         _noop(queries[name](spark, SF_DIR))

@@ -1,0 +1,113 @@
+"""Corpus profiling operators: per-group heavy-hitter terms and exact
+group percentiles.
+
+The training-data-pipeline use cases: vocabulary drift monitoring between
+corpus snapshots (top-k terms per language/source), building stopword /
+boilerplate blocklists from the head of the term distribution, and
+length/quality distribution profiling per source for mixing decisions
+("what does p95 doc length look like in crawl vs curated?").
+
+Everything is JVM built-ins — no Python in the hot path. Both operators
+have value-exact DuckDB oracles in __spark_entry__.py (`topk_terms`,
+`group_percentiles`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spacy_ann_linker_spark.extras.text_analysis import _words
+
+
+def topk_terms(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact top-k terms by frequency within each group — the heavy-hitters
+    profile of a corpus, per language / source / time bucket.
+
+    -> (group_col, term, n), at most k rows per group, deterministic
+    tie-break (n desc, term asc).
+
+    Scale shape (linear, two shuffles, both pruned):
+      1. explode -> groupBy(group, term): the term count. Map-side partial
+         aggregation collapses each task's token stream to its local
+         (group, term) vocabulary before the exchange, so the shuffle
+         carries vocab-sized rows, not token-sized — Zipf-hot terms ("the")
+         are combined per map task first, and the fine-grained composite
+         key spreads them across reducers.
+      2. row_number over (partition by group order by n desc, term asc)
+         with the rank <= k filter plans as WindowGroupLimit (Spark >= 3.5,
+         plan-asserted in tests/test_profiling.py): each map task pre-prunes
+         to its local top-k per group BEFORE the exchange, so the second
+         shuffle carries at most k * num_partitions rows per group rather
+         than the group's whole vocabulary.
+
+    Exactness: unlike sketch-based heavy hitters (count-min, lossy
+    counting), counts are exact — the groupBy IS the orthodox linear scale
+    shape here, and the sketch would only save the vocab-sized shuffle.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(group_col), F.explode(_words(F.col(text_col))).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = True,
+) -> DataFrame:
+    """Percentiles of `value_col` within each group, linear interpolation
+    between closest ranks (the numpy-default / DuckDB `quantile_cont`
+    convention — cross-engine exact, verified against the DuckDB oracle).
+
+    -> (group_col, p25, p50, ... one column per requested prob), column
+    names derived as p{100*prob:g} (p25, p50, p2.5 for 0.025).
+
+    Scale shape: ONE hash-partial aggregation pass either way.
+      exact=True   Spark's `percentile` — an ObjectHashAggregate whose
+                   buffer holds every value of the group (a counts-map, so
+                   duplicates collapse). Right when groups are bounded
+                   (per-source, per-language: each group's distinct-value
+                   set fits an executor). This is the oracle-checkable
+                   default.
+      exact=False  `approx_percentile` — Greenwald-Khanna summaries,
+                   O(1/accuracy) state per group regardless of group size,
+                   mergeable map-side. The 100 TB path when a single group
+                   spans the corpus (e.g. global percentiles over 10^11
+                   rows); bounded rank error, not value-exact.
+    """
+    def _name(p: float) -> str:
+        return "p" + format(p * 100, "g").replace(".", "_")
+
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    agg = (
+        F.percentile(F.col(value_col), parr)
+        if exact
+        else F.approx_percentile(F.col(value_col), parr, F.lit(10000))
+    )
+    out = df.groupBy(group_col).agg(agg.alias("_ps"))
+    return out.select(
+        group_col,
+        *[
+            F.col("_ps").getItem(i).cast("double").alias(_name(p))
+            for i, p in enumerate(probs)
+        ],
+    )

@@ -1,0 +1,89 @@
+"""extras/profiling.py: heavy-hitter terms and group percentiles."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_ann_linker_spark.extras.profiling import group_percentiles, topk_terms
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", "en", "the cat sat on the mat the cat"),
+        ("d2", "en", "the dog ate the bone"),
+        ("d3", "en", "a cat and a dog"),
+        ("d4", "fr", "le chat le chien le chat"),
+        ("d5", "fr", "un chat"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, lang string, text string")
+
+
+def test_topk_terms_counts_and_tiebreak(docs):
+    out = topk_terms(docs, "lang", 3)
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r.lang, []).append((r.term, r.n))
+    # en: the=5, cat=3, dog=2/a=2 -> tie broken term-asc picks "a"
+    en = dict(by_lang["en"])
+    assert en["the"] == 5 and en["cat"] == 3
+    assert set(en) == {"the", "cat", "a"}  # "a" beats "dog" on term asc
+    # fr: le=3, chat=3 (le beats chat? no — n desc then term asc: both 3,
+    # "chat" < "le") so top-3 is chat=3, le=3, chien=1 or un=1 -> chien
+    fr = dict(by_lang["fr"])
+    assert fr == {"chat": 3, "le": 3, "chien": 1}
+    assert all(len(v) == 3 for v in by_lang.values())
+
+
+def test_topk_terms_k_larger_than_vocab(docs):
+    out = topk_terms(docs.filter("doc_id = 'd5'"), "lang", 100)
+    assert sorted((r.term, r.n) for r in out.collect()) == [("chat", 1), ("un", 1)]
+
+
+def test_topk_terms_plans_window_group_limit(docs):
+    """The rank<=k filter must plan as WindowGroupLimit so map tasks
+    pre-prune to local top-k per group before the exchange."""
+    plan = topk_terms(docs, "lang", 3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_group_percentiles_matches_numpy(spark):
+    import numpy as np
+
+    vals = {"a": [1.0, 2.0, 3.0, 4.0, 10.0], "b": [5.0, 7.0]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = {
+        r.grp: (r.p25, r.p50, r.p75, r.p95)
+        for r in group_percentiles(df, "grp", "x").collect()
+    }
+    for g, vs in vals.items():
+        exp = np.percentile(vs, [25, 50, 75, 95])  # linear interpolation
+        for got, want in zip(out[g], exp):
+            assert math.isclose(got, want, rel_tol=0, abs_tol=1e-9), (g, got, want)
+
+
+def test_group_percentiles_custom_probs_and_names(spark):
+    df = spark.createDataFrame([("a", float(i)) for i in range(101)], "grp string, x double")
+    out = group_percentiles(df, "grp", "x", probs=(0.025, 0.5))
+    assert out.columns == ["grp", "p2_5", "p50"]
+    row = out.collect()[0]
+    assert math.isclose(row.p2_5, 2.5, abs_tol=1e-9)
+    assert math.isclose(row.p50, 50.0, abs_tol=1e-9)
+
+
+def test_group_percentiles_approx_path(spark):
+    df = spark.createDataFrame([("a", float(i)) for i in range(1001)], "grp string, x double")
+    row = group_percentiles(df, "grp", "x", exact=False).collect()[0]
+    # GK summaries: bounded rank error, not exact — generous tolerance
+    assert abs(row.p50 - 500.0) <= 5
+    assert abs(row.p95 - 950.0) <= 5
+
+
+def test_group_percentiles_single_pass_hash_agg(spark):
+    """exact path: one ObjectHashAggregate pair (partial+final), no sort of
+    the input rows."""
+    df = spark.createDataFrame([("a", 1.0)], "grp string, x double")
+    plan = group_percentiles(df, "grp", "x")._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" in plan, plan[:2000]

@@ -964,6 +964,57 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(docs, "source", 3, "doc_id")
 
 
+# fixed Fellegi-Sunter (m, u) parameters for the oracle query — the scorer
+# bakes log2 weights into the plan as literals; the oracle replays the
+# identical repr() doubles in the identical sum order (byte-exact)
+_FS_MU = {
+    "agree_segment": (0.90, 0.20),
+    "agree_nation": (0.95, 0.04),
+    "agree_balband": (0.85, 0.10),
+}
+
+
+def _q_fellegi_sunter_score(spark, sf_dir):
+    """Fellegi-Sunter pair scoring (cluster/fellegi_sunter.py): log2
+    likelihood-ratio over field-agreement vectors — the probabilistic ER
+    compare/classify stage. Pairs = consecutive customers; agreements on
+    mktsegment / nationkey / account-balance kilo-band. Pure projection (the
+    weights are plan literals); EM weight estimation is the non-SQL
+    companion, pinned in tests/test_fellegi_sunter.py."""
+    from spacy_ann_linker_spark.cluster.fellegi_sunter import fellegi_sunter_score
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = cust.filter(F.col("c_custkey") <= 500).select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bb_a"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") - 1).alias("id_a"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bb_b"),
+    )
+    pairs = a.join(b, "id_a").select(
+        "id_a",
+        "id_b",
+        (F.col("seg_a") == F.col("seg_b")).cast("int").alias("agree_segment"),
+        (F.col("nat_a") == F.col("nat_b")).cast("int").alias("agree_nation"),
+        (F.col("bb_a") == F.col("bb_b")).cast("int").alias("agree_balband"),
+    )
+    out = fellegi_sunter_score(pairs, _FS_MU)
+    return out.select(
+        "id_a",
+        "id_b",
+        "agree_segment",
+        "agree_nation",
+        "agree_balband",
+        F.round("fs_score", R).alias("fs_score"),
+    )
+
+
 def _q_topk_terms(spark, sf_dir):
     """Per-group heavy-hitter terms (extras/profiling.py): exact top-10
     terms by frequency per language — vocabulary profiling / blocklist
@@ -1078,11 +1129,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
         "topk_terms": _q_topk_terms,
         "group_percentiles": _q_group_percentiles,
+        "fellegi_sunter_score": _q_fellegi_sunter_score,
         "multimodal_decode": _q_multimodal,
     }
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _fs_oracle_sql() -> str:
+    """Fellegi-Sunter oracle: replays the scorer's exact log2 weight
+    doubles (repr round-trips shortest-float, so DuckDB parses the
+    identical bits) in the identical sum order."""
+    import math
+
+    w = {
+        f: (repr(math.log2(m / u)), repr(math.log2((1.0 - m) / (1.0 - u))))
+        for f, (m, u) in _FS_MU.items()
+    }
+    seg_a, seg_d = w["agree_segment"]
+    nat_a, nat_d = w["agree_nation"]
+    bb_a, bb_d = w["agree_balband"]
+    return f"""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS agree_segment,
+               CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END AS agree_nation,
+               CASE WHEN floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+                    THEN 1 ELSE 0 END AS agree_balband,
+               round(
+                 (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                       THEN {seg_a} ELSE {seg_d} END)
+               + (CASE WHEN a.c_nationkey = b.c_nationkey
+                       THEN {nat_a} ELSE {nat_d} END)
+               + (CASE WHEN floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+                       THEN {bb_a} ELSE {bb_d} END), 6) AS fs_score
+        FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        WHERE a.c_custkey <= 500
+        """
 
 _GRAMS_CTE = r"""
 WITH words AS (
@@ -2146,6 +2229,7 @@ def oracle_sql() -> dict[str, str]:
           FROM counts
         ) WHERE rn <= 10
         """,
+        "fellegi_sunter_score": _fs_oracle_sql(),
         "group_percentiles": r"""
         SELECT source,
                round(quantile_cont(length(text), 0.25), 6) AS p25,

@@ -233,6 +233,7 @@ def run_bench(cpus: int) -> dict:
         "golden_records",
         "topk_terms",
         "group_percentiles",
+        "fellegi_sunter_score",
     ]:
         t0 = time.perf_counter()
         _noop(queries[name](spark, SF_DIR))

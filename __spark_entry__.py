@@ -597,6 +597,18 @@ def _q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def _q_winnow_pairs(spark, sf_dir):
+    """MOSS-style shared-substring pair detection (extras/dedup.py):
+    documents sharing >= 2 winnowing fingerprints — the inverted-index
+    join over the winnowed (sparse) stream; fp sets derive in-row."""
+    from spacy_ann_linker_spark.extras.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 200), "doc_id", "text",
+        k=5, w=4, min_shared=2,
+    )
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """Brute-force embedding-cosine near-dup pairs (extras/dedup.py) — the
     exact ground truth the hyperplane-LSH scale path is validated against in
@@ -1112,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_group_count": _q_salted_group_count,
         "dedup_embedding_neardup": _q_embedding_neardup,
         "dedup_winnow_fingerprints": _q_winnow_fingerprints,
+        "dedup_winnow_pairs": _q_winnow_pairs,
         "decontaminate_overlap": _q_decontaminate,
         "text_gopher_flags": _q_gopher_flags,
         "text_scrub_pii": _q_scrub_pii,
@@ -1956,6 +1969,28 @@ def oracle_sql() -> dict[str, str]:
           FROM wins
         )
         SELECT DISTINCT doc_id, pos::INT AS pos, fp FROM sel
+        """,
+        "dedup_winnow_pairs": r"""
+        WITH d AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents WHERE doc_id < 200
+        ), h AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(len(t) - 5 + 1, 0)),
+                   i -> ('0x' || substr(md5(substr(t, i, 5)), 1, 15))::UBIGINT::BIGINT
+                 ) AS hs
+          FROM d
+        ), wins AS (
+          SELECT doc_id, hs, unnest(generate_series(1, greatest(len(hs) - 4 + 1, 0))) AS j
+          FROM h
+        ), fps AS (
+          SELECT DISTINCT doc_id, list_aggregate(hs[j:j+3], 'min') AS fp FROM wins
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_fps
+        FROM fps a JOIN fps b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "dedup_embedding_neardup": f"""
         WITH e AS (

@@ -363,6 +363,65 @@ def embedding_neardup_pairs(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """MOSS-style near-duplicate pair detection: documents sharing >=
+    `min_shared` winnowing fingerprints -> (id_a, id_b, n_shared_fps).
+    By the winnowing guarantee, any pair sharing a substring of length >=
+    k + w - 1 shares at least one fingerprint — this is the
+    shared-substring pair finder (plagiarism / boilerplate / quote
+    detection), complementary to MinHash (whole-doc set overlap) and
+    SimHash (global near-identity).
+
+    Scale shape: the DISTINCT fingerprint SET per doc is derived fully
+    IN-ROW (the same Generate-barrier array as winnow_fingerprints, minus
+    positions — array_distinct before the explode, so no pre-join
+    dedup shuffle), then the classic inverted-index self-join + pair
+    groupBy. Same join shape as ngram_jaccard_pairs but over the winnowed
+    stream — ~2/(w+1) the density, so ~(w+1)/2 x less join input at equal
+    guarantee length. Cost is still quadratic PER SHARED FINGERPRINT;
+    `max_df` drops fingerprints appearing in more than max_df docs (the
+    MOSS "too common to mean anything" rule — boilerplate headers) via
+    one window count over the exploded stream, bounding the worst bucket
+    at C(max_df, 2) pairs."""
+    t = normalize(F.col(text_col))
+    n_grams = F.length(t) - F.lit(k) + 1
+    hs_expr = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams), lambda i: _h60(F.substring(t, i, F.lit(k)))),
+    ).otherwise(F.array().cast("array<bigint>"))
+    hashed = df.select(F.col(id_col), F.explode(F.array(hs_expr)).alias("_hs"))
+    hsc = F.col("_hs")
+    n_wins = F.size(hsc) - F.lit(w) + 1
+    win_idx = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
+        F.array().cast("array<int>")
+    )
+    fp_set = F.array_distinct(F.transform(win_idx, lambda j: F.array_min(F.slice(hsc, j, w))))
+    fps = hashed.select(F.col(id_col).alias("doc_id"), F.explode(fp_set).alias("fp"))
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        fps = fps.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))).filter(
+            F.col("_df") <= max_df
+        ).drop("_df")
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
 ) -> DataFrame:

@@ -710,3 +710,64 @@ def test_edit_distance_pairs_matches_python_levenshtein(spark):
         for r in edit_distance_pairs(df, "id", "name", 4, 2).collect()
     }
     assert got == expected
+
+
+def test_winnow_pairs_equals_fingerprint_recomputation(spark):
+    """winnow_pairs must equal pairs recomputed from winnow_fingerprints'
+    distinct (doc, fp) sets — the in-row fp-set derivation is the same
+    array minus positions."""
+    from spacy_ann_linker_spark.extras.dedup import winnow_fingerprints, winnow_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 60)
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_fps"]
+        for r in winnow_pairs(docs, "doc_id", "text", k=5, w=4, min_shared=2).collect()
+    }
+    fps = {}
+    for r in winnow_fingerprints(docs, "doc_id", "text", k=5, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    want = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(fps[a] & fps[b])
+            if shared >= 2:
+                want[(a, b)] = shared
+    assert got == want
+    assert want, "fixture produced no pairs — weaken the filter"
+
+
+def test_winnow_pairs_shared_substring_guarantee(spark):
+    """Two docs sharing a substring of length >= k+w-1 share >= 1
+    fingerprint (the winnowing guarantee), so min_shared=1 must pair them."""
+    from spacy_ann_linker_spark.extras.dedup import winnow_pairs
+
+    shared = "the quick brown fox jumps over"  # len 30 >= 5+4-1
+    docs = spark.createDataFrame(
+        [(1, "AAAA " + shared + " xyz"), (2, "BBBB qqq " + shared), (3, "totally different words here")],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_pairs(docs, "doc_id", "text", k=5, w=4, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_winnow_pairs_max_df_drops_boilerplate(spark):
+    """A fingerprint present in every doc (boilerplate header) is dropped
+    by max_df, removing pairs that only share the boilerplate."""
+    from spacy_ann_linker_spark.extras.dedup import winnow_pairs
+
+    header = "copyright acme corp all rights reserved"
+    bodies = ["alpha one", "beta two", "gamma three", "delta four"]
+    docs = spark.createDataFrame(
+        [(i, header + " " + b) for i, b in enumerate(bodies)],
+        "doc_id int, text string",
+    )
+    with_all = winnow_pairs(docs, "doc_id", "text", k=5, w=4, min_shared=1).count()
+    capped = winnow_pairs(docs, "doc_id", "text", k=5, w=4, min_shared=1, max_df=2).count()
+    assert with_all == 6  # C(4,2): every pair shares the header
+    assert capped == 0

@@ -1056,6 +1056,19 @@ def _q_group_percentiles(spark, sf_dir):
     )
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (extras/sampling.py): 5 docs per
+    lang, inclusion probability proportional to doc length — A-Res
+    reservoir keys ln(u)/w from md5 uniforms, WindowGroupLimit top-n."""
+    from spacy_ann_linker_spark.extras.sampling import weighted_sample
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", F.length("text").alias("w"))
+    )
+    return weighted_sample(docs, "lang", 5, "doc_id", "w").select("doc_id", "lang")
+
+
 def _q_cluster_pairwise_metrics(spark, sf_dir):
     """Cluster-level pairwise P/R/F1 (evaluate.py): the standard ER
     clustering metric as three linear groupBys (sum of C(n,2) over group
@@ -1139,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ivf_topk,
         "bm25_score": _q_bm25_score,
         "stratified_sample": _q_stratified_sample,
+        "weighted_sample_docs": _q_weighted_sample,
         "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
         "topk_terms": _q_topk_terms,
         "group_percentiles": _q_group_percentiles,
@@ -2155,6 +2169,20 @@ def oracle_sql() -> dict[str, str]:
                  ) AS rn
           FROM documents
         ) WHERE rn <= 3
+        """,
+        "weighted_sample_docs": r"""
+        WITH k AS (
+          SELECT doc_id, lang,
+                 ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT + 0.5)
+                    / 1152921504606846976.0) / length(text) AS skey
+          FROM documents WHERE length(text) > 0
+        )
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY skey DESC, doc_id::VARCHAR ASC) AS rn
+          FROM k
+        ) WHERE rn <= 5
         """,
         "cluster_pairwise_metrics": r"""
         WITH j AS (SELECT doc_id, lang AS p, source AS g FROM documents),

@@ -113,6 +113,57 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    weight_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """EXACT-count deterministic WEIGHTED sample without replacement: n rows
+    per stratum, inclusion probability proportional to `weight_col` —
+    Efraimidis & Spirakis (2006) A-Res reservoir keys, derandomized the same
+    way stratified_sample derandomizes uniform sampling.
+
+    Each row gets u = deterministic uniform in (0,1) from md5(seed || key)
+    (60-bit hash + 0.5, scaled), then rank key ln(u) / w — monotone in the
+    A-Res key u^(1/w), so the top-n per stratum IS a weight-proportional
+    sample without replacement. The quality-weighted corpus-mix operator
+    ("sample 1M docs per source, proportional to quality score") with the
+    deterministic_split contract: pure function of (seed, key, weight),
+    stable across runs / partitionings / cluster sizes, incremental (a new
+    row only enters by beating the boundary key).
+
+    Rows with NULL or non-positive weight are excluded (they have zero
+    selection probability; ln(u)/0 is undefined).
+
+    Scale shape: identical to stratified_sample — the rank <= n filter
+    plans as WindowGroupLimit, so map tasks pre-prune to local top-n per
+    stratum and the shuffle carries <= n * num_partitions rows per stratum.
+    Cross-engine: ln over the same IEEE doubles (DuckDB oracle
+    `weighted_sample_docs`); tie-break (skey desc, key asc) totalizes the
+    order."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    skey = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(strata_col).orderBy(
+        skey.desc(), F.col(key_col).cast("string").asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     shard_col: str,

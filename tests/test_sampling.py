@@ -188,3 +188,75 @@ def test_stratified_sample_plan_has_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """Exact-selection parity with a hashlib+math reference of the A-Res
+    derandomized formula ln(u)/w, u = (h60 + 0.5) / 2^60."""
+    import hashlib
+    import math
+
+    from spacy_ann_linker_spark.extras.sampling import weighted_sample
+
+    rows = [(f"d{i}", "s" if i % 2 else "t", float(1 + (i * 7) % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, w double")
+    got = {
+        (r["doc_id"], r["source"])
+        for r in weighted_sample(df, "source", 4, "doc_id", "w").collect()
+    }
+
+    def skey(key, w):
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        return math.log((h + 0.5) / float(1 << 60)) / w
+
+    want = set()
+    for src in ("s", "t"):
+        grp = [(k, s, w) for k, s, w in rows if s == src]
+        grp.sort(key=lambda r: (-skey(r[0], r[2]), r[0]))
+        want |= {(k, s) for k, s, _ in grp[:4]}
+    assert got == want
+
+
+def test_weighted_sample_partition_invariant_and_excludes_nonpositive(spark):
+    from spacy_ann_linker_spark.extras.sampling import weighted_sample
+
+    rows = [("a", "s", 5.0), ("b", "s", 0.0), ("c", "s", -1.0), ("d", "s", None),
+            ("e", "s", 2.0), ("f", "s", 1.0)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, w double")
+    out1 = {r["doc_id"] for r in weighted_sample(df, "source", 10, "doc_id", "w").collect()}
+    out2 = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(5), "source", 10, "doc_id", "w").collect()
+    }
+    assert out1 == out2 == {"a", "e", "f"}  # zero/negative/null weights excluded
+
+
+def test_weighted_sample_formula_is_weight_proportional():
+    """Statistical property of the derandomized formula itself (pure
+    python, no Spark): across many seeds, an item with 9x the weight is
+    included ~proportionally more often when sampling 1 of 2."""
+    import hashlib
+    import math
+
+    def pick(seed):
+        def skey(key, w):
+            h = int(hashlib.md5((seed + key).encode()).hexdigest()[:15], 16)
+            return math.log((h + 0.5) / float(1 << 60)) / w
+        return max([("hv", 9.0), ("lw", 1.0)], key=lambda r: skey(r[0], r[1]))[0]
+
+    wins = sum(pick(f"s{i}") == "hv" for i in range(2000))
+    # E[wins] = 2000 * 0.9 = 1800; binomial sd ~ 13.4 -> 5 sigma band
+    assert 1730 < wins < 1870, wins
+
+
+def test_weighted_sample_plan_has_window_group_limit(spark):
+    from spacy_ann_linker_spark.extras.sampling import weighted_sample
+
+    df = spark.createDataFrame([("a", "s", 1.0)], "doc_id string, source string, w double")
+    plan = (
+        weighted_sample(df, "source", 5, "doc_id", "w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan[:2000]

@@ -446,6 +446,27 @@ def _q_cc(spark, sf_dir):
     return connected_components_long(edges).select("node", "component")
 
 
+def _q_incremental_cc(spark, sf_dir):
+    """Incremental connected components (cluster/cc.py): fold a new edge
+    batch into a prior assignment by cluster contraction — CC rounds run
+    on batch-sized input, never the historic graph. Result must equal the
+    full recompute (the oracle computes exactly that)."""
+    from spacy_ann_linker_spark.cluster.cc import (
+        connected_components_long,
+        incremental_components,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    old = ev.filter(F.col("event_id") < 2000).select(
+        F.col("user_id").alias("src"), (F.col("user_id") % 17).alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    prev = connected_components_long(old)
+    new = ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 2600)).select(
+        F.col("user_id").alias("src"), (F.col("user_id") % 23).alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    return incremental_components(prev, new)
+
+
 def _q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 pricing summary — the classic multi-agg groupBy, exercising
     whole-stage codegen + map-side partial aggregation on the fact table."""
@@ -1131,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "session_windows": _q_session_windows,
         "cc_components": _q_cc,
+        "incremental_cc": _q_incremental_cc,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_q3_lite_revenue": _q_tpch_q3_lite,
         "rollup_revenue": _q_rollup_revenue,
@@ -2268,6 +2290,23 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT user_id AS a, user_id % 17 AS b FROM events
           WHERE event_id < 2000 AND user_id <> user_id % 17
         ), und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+        )
+        SELECT node, min(r) AS component FROM reach GROUP BY node
+        """,
+        "incremental_cc": """
+        WITH RECURSIVE old_e AS (
+          SELECT DISTINCT user_id AS a, user_id % 17 AS b FROM events
+          WHERE event_id < 2000 AND user_id <> user_id % 17
+        ), new_e AS (
+          SELECT DISTINCT user_id AS a, user_id % 23 AS b FROM events
+          WHERE event_id >= 2000 AND event_id < 2600 AND user_id <> user_id % 23
+        ), all_e AS (SELECT a, b FROM old_e UNION SELECT a, b FROM new_e),
+        und AS (SELECT a, b FROM all_e UNION SELECT b, a FROM all_e),
         nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
         reach(node, r) AS (
           SELECT node, node FROM nodes

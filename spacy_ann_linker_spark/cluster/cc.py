@@ -118,6 +118,66 @@ def connected_components_long(
     return members.union(roots).distinct()
 
 
+def incremental_components(
+    prev: DataFrame,
+    new_edges: DataFrame,
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fold a NEW batch of edges into an existing component assignment
+    WITHOUT re-clustering the world — the production ER pattern (yesterday's
+    10^10-node clustering is an artifact; today's batch must not recompute
+    it).
+
+    prev: (node, component) — a prior connected_components_long output
+    (component = min reachable node id). new_edges: (src, dst), may touch
+    old nodes, brand-new nodes, or bridge old clusters.
+    -> (node, component) over the FULL universe (old nodes + new endpoints),
+    identical to recomputing CC over (prev's implied edges ∪ new_edges) —
+    equality is tested against exactly that on random graphs.
+
+    Graph contraction: each old cluster is one supernode (its component id
+    — which IS the cluster's min node id, so min-of-mins lifts back to the
+    global min and the component-id semantics stay stable under merges).
+    The star alternation therefore runs on new-batch-sized input — contracted
+    new edges only — not the historical graph:
+
+        map endpoints through prev     two hash joins, new-edge-sized
+        CC on contracted edges         O(log^2) rounds over |batch| edges
+        lift: universe join on cid     one join; untouched clusters keep
+                                       their id (coalesce), so the historic
+                                       table is scanned once, never iterated
+
+    The lift join is keyed by old component id — one row per CLUSTER on the
+    CC-result side (batch-sized, broadcastable), so a giant historic cluster
+    costs its row count only in the final projection, never in the rounds."""
+    mapping = prev.select(F.col("node"), F.col("component").alias("cid"))
+    ends = (
+        new_edges.select(F.col("src").alias("node"))
+        .union(new_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    new_nodes = ends.join(mapping.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("cid")
+    )
+    universe = mapping.union(new_nodes)
+    contracted = (
+        new_edges.join(
+            universe.select(F.col("node").alias("src"), F.col("cid").alias("_ca")), "src"
+        )
+        .join(universe.select(F.col("node").alias("dst"), F.col("cid").alias("_cb")), "dst")
+        .select(F.col("_ca").alias("src"), F.col("_cb").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    merged = connected_components_long(
+        contracted, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    ).select(F.col("node").alias("cid"), F.col("component").alias("_final"))
+    return universe.join(merged, "cid", "left").select(
+        "node", F.coalesce(F.col("_final"), F.col("cid")).alias("component")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

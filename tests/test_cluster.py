@@ -116,3 +116,49 @@ def test_large_random_graph_matches_networkx_free_oracle(spark):
         got.setdefault(r["component"], set()).add(r["node"])
     k = lambda fs: sorted(fs)
     assert sorted(map(frozenset, got.values()), key=k) == sorted(map(frozenset, want.values()), key=k)
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Random two-batch graph: contraction-based incremental CC must equal
+    CC over the union of both batches, on the full node universe."""
+    import random
+
+    from spacy_ann_linker_spark.cluster.cc import (
+        connected_components_long,
+        incremental_components,
+    )
+
+    rng = random.Random(42)
+    old = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+    new = [(rng.randrange(120), rng.randrange(120)) for _ in range(40)]
+    old_df = spark.createDataFrame(old, "src long, dst long").filter("src != dst").distinct()
+    new_df = spark.createDataFrame(new, "src long, dst long").filter("src != dst").distinct()
+    prev = connected_components_long(old_df)
+    inc = {
+        (r["node"], r["component"])
+        for r in incremental_components(prev, new_df).collect()
+    }
+    full = {
+        (r["node"], r["component"])
+        for r in connected_components_long(old_df.union(new_df)).collect()
+    }
+    assert inc == full
+    assert inc, "fixture produced no components"
+
+
+def test_incremental_components_bridges_merge_and_untouched_stay(spark):
+    from spacy_ann_linker_spark.cluster.cc import incremental_components
+
+    # prev: {1,2,3} -> 1, {10,11} -> 10, {20,21} -> 20
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "node long, component long",
+    )
+    # one bridge 3-10 merges the first two clusters; 30-31 is brand new
+    new = spark.createDataFrame([(3, 10), (30, 31)], "src long, dst long")
+    got = {(r["node"], r["component"]) for r in incremental_components(prev, new).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (10, 1), (11, 1),   # merged under global min
+        (20, 20), (21, 20),                          # untouched cluster unchanged
+        (30, 30), (31, 30),                          # new-only nodes clustered
+    }

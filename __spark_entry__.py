@@ -1111,6 +1111,42 @@ def _q_cluster_pairwise_metrics(spark, sf_dir):
     )
 
 
+def _q_bcubed_metrics(spark, sf_dir):
+    """B-cubed P/R/F1 (evaluate.py): the per-item ER clustering metric —
+    one map-side-combined groupBy over N rows, cluster sizes re-derived
+    from the cell table. Same lang-vs-source fixture as the pairwise
+    metric so the two standard metrics are directly comparable."""
+    from spacy_ann_linker_spark.evaluate import bcubed_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bcubed_metrics(
+        docs, docs, id_col="doc_id", pred_col="lang", gold_col="source"
+    )
+    return out.select(
+        "n_items",
+        F.round("bcubed_precision", R).alias("bcubed_precision"),
+        F.round("bcubed_recall", R).alias("bcubed_recall"),
+        F.round("bcubed_f1", R).alias("bcubed_f1"),
+    )
+
+
+def _q_token_block_pairs(spark, sf_dir):
+    """Token blocking + CBS weighting (candidates/blocking.py): documents
+    sharing >= 2 of their first-4-word token sets, with the df<=60 hot-token
+    purge active on both engines (the corpus' hottest head tokens run df
+    70-81, so the purge genuinely drops blocks). The posting-list self-join
+    is the one shuffle; the cap bounds it at df² per surviving token."""
+    from spacy_ann_linker_spark.candidates.blocking import token_block_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("head"),
+    )
+    return token_block_pairs(
+        docs, id_col="doc_id", text_col="head", min_common=2, max_token_df=60
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The flagship runs FIRST: r4's driver snapshot dropped the last dict
     # entry (50/51 rows recorded; the judge re-verified the missing flagship
@@ -1176,6 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "weighted_sample_docs": _q_weighted_sample,
         "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
+        "bcubed_metrics": _q_bcubed_metrics,
+        "token_block_pairs": _q_token_block_pairs,
         "topk_terms": _q_topk_terms,
         "group_percentiles": _q_group_percentiles,
         "fellegi_sunter_score": _q_fellegi_sunter_score,
@@ -2231,6 +2269,47 @@ def oracle_sql() -> dict[str, str]:
                              / (tp_pairs * 1.0 / pred_pairs + tp_pairs * 1.0 / gold_pairs)
                           ELSE 0.0 END, 6) AS f1
         FROM tp CROSS JOIN pp CROSS JOIN gp
+        """,
+        "bcubed_metrics": r"""
+        WITH j AS (SELECT doc_id, lang AS p, source AS g FROM documents),
+        cells AS (SELECT p, g, count(*) AS n FROM j GROUP BY p, g),
+        pc AS (SELECT p, sum(n) AS np FROM cells GROUP BY p),
+        gc AS (SELECT g, sum(n) AS ng FROM cells GROUP BY g),
+        agg AS (
+          SELECT coalesce(sum(n), 0)::BIGINT AS n_items,
+                 coalesce(sum(n * n * 1.0 / np), 0.0) AS sp,
+                 coalesce(sum(n * n * 1.0 / ng), 0.0) AS sg
+          FROM cells JOIN pc USING (p) JOIN gc USING (g)
+        )
+        SELECT n_items,
+               round(CASE WHEN n_items > 0 THEN sp / n_items ELSE 0.0 END, 6)
+                 AS bcubed_precision,
+               round(CASE WHEN n_items > 0 THEN sg / n_items ELSE 0.0 END, 6)
+                 AS bcubed_recall,
+               round(CASE WHEN n_items > 0 AND sp + sg > 0
+                          THEN 2 * (sp / n_items) * (sg / n_items)
+                             / (sp / n_items + sg / n_items)
+                          ELSE 0.0 END, 6) AS bcubed_f1
+        FROM agg
+        """,
+        "token_block_pairs": r"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(
+                     lower(array_to_string(
+                       list_slice(string_split(text, ' '), 1, 4), ' ')),
+                     '[^a-z0-9]+'),
+                   w -> w <> '')) AS tok
+          FROM documents
+        ), keep AS (
+          SELECT tok FROM toks GROUP BY tok
+          HAVING count(*) <= 60 AND count(*) >= 2
+        ), p AS (SELECT doc_id, tok FROM toks JOIN keep USING (tok))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common_blocks
+        FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
         """,
         "dedup_simhash": r"""
         WITH norm AS (

@@ -164,6 +164,61 @@ def phonetic_block_pairs(
     return t.join(a, "_bk").select("text", "alias").distinct()
 
 
+def token_block_pairs(
+    records: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    min_common: int = 2,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Token blocking with common-block weighting — the meta-blocking
+    recipe (Papadakis et al.): every distinct lowercase token of a record
+    is a block key; candidate pairs are records sharing >= min_common
+    tokens, and `common_blocks` is the CBS edge weight (number of shared
+    blocks), so min_common IS weight-edge pruning with a constant
+    threshold. Complements the linker-side blocks (LSH / prefix /
+    phonetic key texts against a gazetteer): this one is records×records
+    over a single table — the dedup/ER shape.
+
+    Cost is Σ_tok df(tok)² — the posting-list self-join — so the hot-token
+    cap `max_token_df` is the scale knob (the analogue of the exact path's
+    max_gram_df): stop-word-like tokens whose df exceeds the cap are
+    dropped BEFORE the join (standard block purging; they carry no
+    discriminating signal and quadratic cost). When the cap is on,
+    singleton tokens (df=1) are also dropped — they cannot produce a pair
+    but would ride the join input. The df filter joins on the same key the
+    self-join shuffles on, so it adds no extra shuffle of the posting
+    table. Output: (id_a, id_b, common_blocks) with id_a < id_b."""
+    toks = records.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda w: w != "",
+                )
+            )
+        ).alias("tok"),
+    )
+    if max_token_df is not None:
+        keep = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter((F.col("_df") <= max_token_df) & (F.col("_df") >= 2))
+            .select("tok")
+        )
+        toks = toks.join(keep, "tok")
+    a = toks.select(F.col("_id").alias("id_a"), "tok")
+    b = toks.select(F.col("_id").alias("id_b"), "tok")
+    return (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common_blocks"))
+        .filter(F.col("common_blocks") >= min_common)
+    )
+
+
 def generate_candidates_blocked(
     model: CandidateModel,
     texts: DataFrame,

@@ -83,6 +83,62 @@ def cluster_pairwise_metrics(
     )
 
 
+def bcubed_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "cluster",
+    gold_col: str = "cluster",
+) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) — the per-ITEM
+    counterpart of cluster_pairwise_metrics, and the other standard ER
+    clustering metric (pairwise over-weights big clusters quadratically;
+    B-cubed weighs every record once, so a mis-merged giant cluster and a
+    mis-merged pair of singletons cost proportionally).
+
+        precision = (1/N) Σ_items |C(i) ∩ G(i)| / |C(i)|
+                  = (1/N) Σ_cells n_cg² / n_c
+        recall    = (1/N) Σ_cells n_cg² / n_g
+
+    where n_cg is the contingency-cell count for (pred cluster c, gold
+    cluster g). The identity turns the per-item sum into ONE
+    map-side-combined groupBy(p, g) over N rows; cluster sizes n_c / n_g
+    are then re-derived from the CELL table (|cells| ≤ |clusters|² but in
+    practice ≈ |clusters| — orders of magnitude below N), so nothing past
+    the first aggregation touches N rows again. Population = inner join on
+    id, as in cluster_pairwise_metrics. Returns ONE row
+    (n_items, bcubed_precision, bcubed_recall, bcubed_f1); empty input
+    yields 0.0 metrics, not nulls."""
+    joined = pred.select(
+        F.col(id_col).alias("id"), F.col(pred_col).alias("p")
+    ).join(
+        gold.select(F.col(id_col).alias("id"), F.col(gold_col).alias("g")),
+        "id",
+    )
+    cells = joined.groupBy("p", "g").agg(F.count(F.lit(1)).alias("n"))
+    psz = cells.groupBy("p").agg(F.sum("n").alias("np"))
+    gsz = cells.groupBy("g").agg(F.sum("n").alias("ng"))
+    agg = (
+        cells.join(psz, "p")
+        .join(gsz, "g")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_items"),
+            F.coalesce(F.sum(F.col("n") * F.col("n") / F.col("np")), F.lit(0.0)).alias("sp"),
+            F.coalesce(F.sum(F.col("n") * F.col("n") / F.col("ng")), F.lit(0.0)).alias("sg"),
+        )
+    )
+    prec = F.when(F.col("n_items") > 0, F.col("sp") / F.col("n_items")).otherwise(F.lit(0.0))
+    rec = F.when(F.col("n_items") > 0, F.col("sg") / F.col("n_items")).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_items",
+        prec.alias("bcubed_precision"),
+        rec.alias("bcubed_recall"),
+        F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+        .otherwise(F.lit(0.0))
+        .alias("bcubed_f1"),
+    )
+
+
 def pairwise_f1(links: DataFrame, labels: DataFrame) -> dict:
     """links: linker output (conv_id, turn_idx, text, start, entity_id, ...)
     labels: (conv_id, turn_idx, mention, start, gold_entity, block_key, ...)

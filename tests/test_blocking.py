@@ -286,3 +286,86 @@ def test_phonetic_block_pairs_sound_alikes_and_salt_parity(spark):
         for r in phonetic_block_pairs(texts, aliases, salt_buckets=8).collect()
     }
     assert salted == plain
+
+
+# ---- token_block_pairs ------------------------------------------------------
+
+
+def test_token_block_pairs_hand_counted_weights_and_threshold(spark):
+    from spacy_ann_linker_spark.candidates.blocking import token_block_pairs
+
+    recs = spark.createDataFrame(
+        [
+            (1, "acme steel works"),
+            (2, "acme steel supply"),
+            (3, "acme consulting"),
+            (4, "zenith labs"),
+        ],
+        "id int, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["common_blocks"]
+        for r in token_block_pairs(recs, min_common=1).collect()
+    }
+    # (1,2) share acme+steel=2; (1,3)/(2,3) share acme=1; 4 shares nothing
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    strict = {
+        (r["id_a"], r["id_b"]): r["common_blocks"]
+        for r in token_block_pairs(recs, min_common=2).collect()
+    }
+    assert strict == {(1, 2): 2}
+
+
+def test_token_block_pairs_hot_token_purge(spark):
+    """max_token_df drops stop-word-like blocks BEFORE the self-join: with
+    'inc' in every record, the cap removes it and only the rare-token pair
+    survives; tokens are distinct per record (repeats count once)."""
+    from spacy_ann_linker_spark.candidates.blocking import token_block_pairs
+
+    recs = spark.createDataFrame(
+        [
+            (1, "alpha inc inc"),
+            (2, "alpha inc"),
+            (3, "beta inc"),
+            (4, "gamma inc"),
+        ],
+        "id int, text string",
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["common_blocks"]
+        for r in token_block_pairs(recs, min_common=1).collect()
+    }
+    assert uncapped == {(1, 2): 2, (1, 3): 1, (1, 4): 1, (2, 3): 1, (2, 4): 1, (3, 4): 1}
+    capped = {
+        (r["id_a"], r["id_b"]): r["common_blocks"]
+        for r in token_block_pairs(recs, min_common=1, max_token_df=3).collect()
+    }
+    # 'inc' (df=4) purged by the cap; 'beta'/'gamma' (df=1) dropped by the
+    # >=2 floor; only 'alpha' (df=2) survives -> one pair, weight 1
+    assert capped == {(1, 2): 1}
+
+
+def test_token_block_pairs_matches_python_reference_random(spark):
+    import itertools
+    import random
+    import re
+
+    from spacy_ann_linker_spark.candidates.blocking import token_block_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.sample(vocab, rng.randrange(1, 5)))) for i in range(40)
+    ]
+    toksets = {i: set(re.split(r"[^a-z0-9]+", t.lower())) - {""} for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(toksets), 2):
+        c = len(toksets[a] & toksets[b])
+        if c >= 2:
+            want[(a, b)] = c
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["common_blocks"]
+        for r in token_block_pairs(df, min_common=2).collect()
+    }
+    assert got == want

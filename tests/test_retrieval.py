@@ -223,3 +223,86 @@ def test_blocking_quality_single_universal_block(spark):
     m = _bq(spark, rows)
     assert m["reduction_ratio"] == 0.0
     assert m["pairs_completeness"] == 1.0
+
+
+# ---- bcubed_metrics ---------------------------------------------------------
+
+
+def test_bcubed_hand_counted(spark):
+    # pred {a,b,c}{d,e}, gold {a,b}{c,d,e} — same fixture as the pairwise
+    # hand-count so the two metrics can be compared on one example.
+    # P per item: a 2/3, b 2/3, c 1/3, d 1, e 1 -> 11/15
+    # R per item: a 1,   b 1,   c 1/3, d 2/3, e 2/3 -> 11/15
+    from spacy_ann_linker_spark.evaluate import bcubed_metrics
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 2), ("e", 2)], "id string, cluster int"
+    )
+    gold = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 20), ("d", 20), ("e", 20)], "id string, cluster int"
+    )
+    r = bcubed_metrics(pred, gold).first()
+    assert r["n_items"] == 5
+    assert r["bcubed_precision"] == pytest.approx(11 / 15)
+    assert r["bcubed_recall"] == pytest.approx(11 / 15)
+    assert r["bcubed_f1"] == pytest.approx(11 / 15)
+
+
+def test_bcubed_perfect_and_singletons(spark):
+    from spacy_ann_linker_spark.evaluate import bcubed_metrics
+
+    pred = spark.createDataFrame([("a", 1), ("b", 1), ("c", 2)], "id string, cluster int")
+    r = bcubed_metrics(pred, pred).first()
+    assert (r["bcubed_precision"], r["bcubed_recall"], r["bcubed_f1"]) == (1.0, 1.0, 1.0)
+
+    # all-singleton prediction against one gold cluster of n=3:
+    # precision 1.0 (each |C(i)|=1 fully inside gold), recall 1/3
+    singles = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, cluster int"
+    )
+    gold = spark.createDataFrame([("a", 1), ("b", 1), ("c", 1)], "id string, cluster int")
+    r = bcubed_metrics(singles, gold).first()
+    assert r["bcubed_precision"] == pytest.approx(1.0)
+    assert r["bcubed_recall"] == pytest.approx(1 / 3)
+    assert r["bcubed_f1"] == pytest.approx(2 * 1.0 * (1 / 3) / (1 + 1 / 3))
+
+
+def test_bcubed_matches_python_definition_on_random_clustering(spark):
+    """Per-item definition computed independently in python vs the
+    contingency-cell identity the Spark plan uses."""
+    import random
+
+    from spacy_ann_linker_spark.evaluate import bcubed_metrics
+
+    rng = random.Random(7)
+    ids = list(range(120))
+    p = {i: rng.randrange(9) for i in ids}
+    g = {i: rng.randrange(6) for i in ids}
+    pc = {}
+    gc = {}
+    for i in ids:
+        pc.setdefault(p[i], set()).add(i)
+        gc.setdefault(g[i], set()).add(i)
+    prec = sum(len(pc[p[i]] & gc[g[i]]) / len(pc[p[i]]) for i in ids) / len(ids)
+    rec = sum(len(pc[p[i]] & gc[g[i]]) / len(gc[g[i]]) for i in ids) / len(ids)
+    pred = spark.createDataFrame([(i, p[i]) for i in ids], "id int, cluster int")
+    gold = spark.createDataFrame([(i, g[i]) for i in ids], "id int, cluster int")
+    r = bcubed_metrics(pred, gold).first()
+    assert r["bcubed_precision"] == pytest.approx(prec)
+    assert r["bcubed_recall"] == pytest.approx(rec)
+    assert r["bcubed_f1"] == pytest.approx(2 * prec * rec / (prec + rec))
+
+
+def test_bcubed_population_is_id_intersection_and_empty_guard(spark):
+    from spacy_ann_linker_spark.evaluate import bcubed_metrics
+
+    pred = spark.createDataFrame([("a", 1), ("b", 1), ("zz", 9)], "id string, cluster int")
+    gold = spark.createDataFrame([("a", 1), ("b", 1), ("yy", 9)], "id string, cluster int")
+    r = bcubed_metrics(pred, gold).first()
+    assert r["n_items"] == 2 and r["bcubed_f1"] == pytest.approx(1.0)
+
+    empty = pred.filter(F.lit(False))
+    r = bcubed_metrics(empty, gold).first()
+    assert (r["n_items"], r["bcubed_precision"], r["bcubed_recall"], r["bcubed_f1"]) == (
+        0, 0.0, 0.0, 0.0,
+    )

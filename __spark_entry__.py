@@ -1136,6 +1136,29 @@ def _q_token_block_pairs(spark, sf_dir):
     purge active on both engines (the corpus' hottest head tokens run df
     70-81, so the purge genuinely drops blocks). The posting-list self-join
     is the one shuffle; the cap bounds it at df² per surviving token."""
+    return _token_pairs_fixture(spark, sf_dir)
+
+
+def _q_cluster_agreement(spark, sf_dir):
+    """ARI + V-measure (evaluate.py): chance-corrected and entropy cluster
+    agreement from the same contingency-cell identity as the pairwise and
+    B-cubed rows — the full standard ER metric family on one fixture."""
+    from spacy_ann_linker_spark.evaluate import cluster_agreement_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cluster_agreement_metrics(
+        docs, docs, id_col="doc_id", pred_col="lang", gold_col="source"
+    )
+    return out.select(
+        "n_items",
+        F.round("ari", R).alias("ari"),
+        F.round("homogeneity", R).alias("homogeneity"),
+        F.round("completeness", R).alias("completeness"),
+        F.round("v_measure", R).alias("v_measure"),
+    )
+
+
+def _token_pairs_fixture(spark, sf_dir):
     from spacy_ann_linker_spark.candidates.blocking import token_block_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -1144,6 +1167,42 @@ def _q_token_block_pairs(spark, sf_dir):
     )
     return token_block_pairs(
         docs, id_col="doc_id", text_col="head", min_common=2, max_token_df=60
+    )
+
+
+def _q_meta_block_wep(spark, sf_dir):
+    """Weighted Edge Pruning over the CBS-weighted token-blocking graph:
+    strict >-global-mean cut, one broadcast one-row aggregate — the edge
+    table itself never shuffles."""
+    from spacy_ann_linker_spark.candidates.blocking import meta_block_prune
+
+    return meta_block_prune(_token_pairs_fixture(spark, sf_dir), "wep")
+
+
+def _q_meta_block_cnp(spark, sf_dir):
+    """Cardinality Node Pruning (k=2) with union redistribution over the
+    same graph: per-node top-k is a WindowGroupLimit (map-side partial
+    top-k before the single node shuffle)."""
+    from spacy_ann_linker_spark.candidates.blocking import meta_block_prune
+
+    return meta_block_prune(_token_pairs_fixture(spark, sf_dir), "cnp", k=2)
+
+
+def _q_monge_elkan_sim(spark, sf_dir):
+    """Monge-Elkan over the jw_similarity pair fixture (consecutive part
+    names): token-level max-JW mean, scored on distinct pairs only. The
+    part names are 5-word color lists, so token reorderings that crush
+    whole-string JW leave ME high — the metric's reason to exist."""
+    from spacy_ann_linker_spark.functions.stringsim import monge_elkan_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_name")
+    a = part.filter(F.col("p_partkey") <= 300).select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a")
+    )
+    b = part.select((F.col("p_partkey") - 1).alias("id_a"), F.col("p_name").alias("name_b"))
+    pairs = a.join(b, "id_a")
+    return monge_elkan_pairs(pairs).select(
+        "id_a", F.round("me_sim", R).alias("me_sim")
     )
 
 
@@ -1213,7 +1272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _q_weighted_sample,
         "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
         "bcubed_metrics": _q_bcubed_metrics,
+        "cluster_agreement": _q_cluster_agreement,
         "token_block_pairs": _q_token_block_pairs,
+        "meta_block_wep": _q_meta_block_wep,
+        "meta_block_cnp": _q_meta_block_cnp,
+        "monge_elkan_sim": _q_monge_elkan_sim,
         "topk_terms": _q_topk_terms,
         "group_percentiles": _q_group_percentiles,
         "fellegi_sunter_score": _q_fellegi_sunter_score,
@@ -2310,6 +2373,122 @@ def oracle_sql() -> dict[str, str]:
         FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 2
+        """,
+        "meta_block_wep": r"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(
+                     lower(array_to_string(
+                       list_slice(string_split(text, ' '), 1, 4), ' ')),
+                     '[^a-z0-9]+'),
+                   w -> w <> '')) AS tok
+          FROM documents
+        ), keep AS (
+          SELECT tok FROM toks GROUP BY tok
+          HAVING count(*) <= 60 AND count(*) >= 2
+        ), p AS (SELECT doc_id, tok FROM toks JOIN keep USING (tok)),
+        e AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common_blocks
+          FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= 2
+        )
+        SELECT id_a, id_b, common_blocks FROM e
+        WHERE common_blocks > (SELECT avg(common_blocks) FROM e)
+        """,
+        "meta_block_cnp": r"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(
+                     lower(array_to_string(
+                       list_slice(string_split(text, ' '), 1, 4), ' ')),
+                     '[^a-z0-9]+'),
+                   w -> w <> '')) AS tok
+          FROM documents
+        ), keep AS (
+          SELECT tok FROM toks GROUP BY tok
+          HAVING count(*) <= 60 AND count(*) >= 2
+        ), p AS (SELECT doc_id, tok FROM toks JOIN keep USING (tok)),
+        e AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common_blocks
+          FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= 2
+        ), d AS (
+          SELECT id_a AS node, id_b AS peer, common_blocks FROM e
+          UNION ALL
+          SELECT id_b AS node, id_a AS peer, common_blocks FROM e
+        ), r AS (
+          SELECT node, peer, common_blocks,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY common_blocks DESC, peer ASC) AS rn
+          FROM d
+        )
+        SELECT DISTINCT least(node, peer) AS id_a, greatest(node, peer) AS id_b,
+               common_blocks
+        FROM r WHERE rn <= 2
+        """,
+        "cluster_agreement": r"""
+        WITH j AS (SELECT lang AS p, source AS g FROM documents),
+        cells AS (SELECT p, g, count(*) AS n FROM j GROUP BY p, g),
+        pc AS (SELECT p, sum(n) AS np FROM cells GROUP BY p),
+        gc AS (SELECT g, sum(n) AS ng FROM cells GROUP BY g),
+        a AS (
+          SELECT sum(n)::BIGINT AS n_items,
+                 sum(n * (n - 1) / 2.0) AS tp,
+                 sum(np * (np - 1) / 2.0 * n / np) AS pred_pairs,
+                 sum(ng * (ng - 1) / 2.0 * n / ng) AS gold_pairs,
+                 sum(-n * ln(ng)) AS hg_num,
+                 sum(-n * ln(np)) AS hp_num,
+                 sum(-n * ln(n)) AS hcell_num
+          FROM cells JOIN pc USING (p) JOIN gc USING (g)
+        ), b AS (
+          SELECT n_items, tp,
+                 pred_pairs - tp AS fp, gold_pairs - tp AS fn,
+                 n_items * (n_items - 1) / 2.0 - pred_pairs - gold_pairs + tp AS tn,
+                 ln(n_items) + hg_num / n_items AS hg,
+                 ln(n_items) + hp_num / n_items AS hp,
+                 (hcell_num - hp_num) / n_items AS hg_p,
+                 (hcell_num - hg_num) / n_items AS hp_g
+          FROM a
+        ), c AS (
+          SELECT n_items,
+                 CASE WHEN fp = 0 AND fn = 0 THEN 1.0
+                      ELSE 2.0 * (tp * tn - fn * fp)
+                           / ((tp + fn) * (fn + tn) + (tp + fp) * (fp + tn)) END AS ari,
+                 CASE WHEN hg > 0 THEN 1 - hg_p / hg ELSE 1.0 END AS h,
+                 CASE WHEN hp > 0 THEN 1 - hp_g / hp ELSE 1.0 END AS c
+          FROM b
+        )
+        SELECT n_items, round(ari, 6) AS ari, round(h, 6) AS homogeneity,
+               round(c, 6) AS completeness,
+               round(CASE WHEN h + c > 0 THEN 2 * h * c / (h + c)
+                          ELSE 0.0 END, 6) AS v_measure
+        FROM c
+        """,
+        "monge_elkan_sim": r"""
+        WITH a AS (
+          SELECT p_partkey AS id_a, p_name AS name_a FROM part
+          WHERE p_partkey <= 300
+        ), b AS (
+          SELECT p_partkey - 1 AS id_a, p_name AS name_b FROM part
+        ), pr AS (
+          SELECT id_a,
+                 list_distinct(list_filter(regexp_split_to_array(
+                   lower(name_a), '[^a-z0-9]+'), w -> w <> '')) AS ta,
+                 list_distinct(list_filter(regexp_split_to_array(
+                   lower(name_b), '[^a-z0-9]+'), w -> w <> '')) AS tb
+          FROM a JOIN b USING (id_a)
+        )
+        SELECT id_a,
+               round(CASE WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0
+                          ELSE list_avg(list_transform(ta, x ->
+                                 list_max(list_transform(tb, y ->
+                                   jaro_winkler_similarity(x, y)))))
+                     END, 6) AS me_sim
+        FROM pr
         """,
         "dedup_simhash": r"""
         WITH norm AS (

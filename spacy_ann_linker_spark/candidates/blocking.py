@@ -219,6 +219,73 @@ def token_block_pairs(
     )
 
 
+def meta_block_prune(
+    pairs: DataFrame,
+    method: str = "wep",
+    k: int = 5,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    weight_col: str = "common_blocks",
+) -> DataFrame:
+    """Meta-blocking edge pruning (Papadakis et al., TKDE 2014) over a
+    weighted candidate-pair graph — the step between block building
+    (token_block_pairs' CBS weights) and pairwise matching that discards
+    the low-signal majority of candidate pairs before the expensive
+    comparisons.
+
+    method="wep" (Weighted Edge Pruning): keep edges whose weight exceeds
+    the GLOBAL mean edge weight (strictly >, the paper's convention). The
+    mean is a one-row aggregate broadcast back over the edge table — one
+    pass, no shuffle of the edges at all (the filter is a map).
+
+    method="cnp" (Cardinality Node Pruning): per NODE, keep the top-k
+    incident edges by (weight desc, neighbor asc — deterministic ties);
+    an edge survives if EITHER endpoint retains it (the paper's
+    redistribution union). Each undirected edge is viewed from both
+    endpoints (one cheap union = a 2× map-side expansion, nothing like a
+    blow-up), then one groupBy(node) top-k — rank<=k is a
+    WindowGroupLimit, so partial top-k runs map-side before the single
+    shuffle — and a semi-join-free distinct on the surviving directed
+    views restores the undirected edge set. Scale shape: linear in edges;
+    hot nodes cost df(node)·log k in the per-partition heap, never a
+    quadratic re-join.
+
+    Output keeps (id_a, id_b, weight_col)."""
+    w = F.col(weight_col).cast("double")
+    if method == "wep":
+        mean = pairs.agg(F.avg(w).alias("_mw"))
+        return (
+            pairs.crossJoin(F.broadcast(mean))
+            .filter(w > F.col("_mw"))
+            .drop("_mw")
+        )
+    if method != "cnp":
+        raise ValueError(f"unknown meta-blocking method: {method!r}")
+    directed = pairs.select(
+        F.col(id_a).alias("node"), F.col(id_b).alias("peer"), F.col(weight_col)
+    ).unionByName(
+        pairs.select(
+            F.col(id_b).alias("node"), F.col(id_a).alias("peer"), F.col(weight_col)
+        )
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy("node").orderBy(
+            F.col(weight_col).cast("double").desc(), F.col("peer").asc()
+        )
+    )
+    kept = directed.withColumn("_r", rank).filter(F.col("_r") <= k)
+    return (
+        kept.select(
+            F.least("node", "peer").alias(id_a),
+            F.greatest("node", "peer").alias(id_b),
+            F.col(weight_col),
+        )
+        .distinct()
+    )
+
+
 def generate_candidates_blocked(
     model: CandidateModel,
     texts: DataFrame,

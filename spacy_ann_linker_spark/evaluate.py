@@ -139,6 +139,111 @@ def bcubed_metrics(
     )
 
 
+def cluster_agreement_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "cluster",
+    gold_col: str = "cluster",
+) -> DataFrame:
+    """Adjusted Rand Index + V-measure (homogeneity / completeness) — the
+    chance-corrected and entropy-based cluster-agreement metrics, rounding
+    out the metric family (pairwise P/R/F1 over-rewards big clusters,
+    B-cubed weighs items, ARI corrects for chance agreement, V-measure is
+    insensitive to cluster COUNT mismatch).
+
+    Everything derives from the same contingency-cell table the other two
+    metrics use: ONE map-side-combined groupBy(p, g) over the N joined
+    rows; every later aggregate runs over |cells| (≈ |clusters|, orders of
+    magnitude below N). No pair materialization, no second pass over N.
+
+    ARI (Hubert & Arabie 1985), in pair-confusion form with sklearn's
+    degenerate-case convention: tp = Σ_cells C(n,2), fp = pred_pairs − tp,
+    fn = gold_pairs − tp, tn = C(N,2) − tp − fp − fn;
+        ARI = 2(tp·tn − fn·fp) / ((tp+fn)(fn+tn) + (tp+fp)(fp+tn))
+    and ARI := 1.0 when fp = fn = 0 (identical partitions, incl. the
+    all-singleton / single-cluster trivia where the denominator is 0).
+    Pair counts are exact longs; the ARI ratio itself is computed in
+    double (pair products overflow int64 past ~10^9 items — the METRIC
+    loses nothing, its inputs are already ratios of ~N² quantities).
+
+    V-measure (Rosenberg & Hirschberg 2007), natural-log entropies over
+    the same cells:
+        homogeneity  = 1 − H(g|p)/H(g)   (:= 1.0 when H(g) = 0)
+        completeness = 1 − H(p|g)/H(p)   (:= 1.0 when H(p) = 0)
+        v_measure    = 2hc/(h+c)         (:= 0.0 when h + c = 0)
+
+    Population = inner join on id (as the sibling metrics). Empty input
+    returns n_items=0 with ari=1.0 and h=c=1.0, v=1.0 (the degenerate
+    "identical empty partitions" reading — documented, not sklearn, which
+    raises on empty input). Returns ONE row (n_items, ari, homogeneity,
+    completeness, v_measure)."""
+    joined = pred.select(
+        F.col(id_col).alias("id"), F.col(pred_col).alias("p")
+    ).join(
+        gold.select(F.col(id_col).alias("id"), F.col(gold_col).alias("g")),
+        "id",
+    )
+    cells = joined.groupBy("p", "g").agg(F.count(F.lit(1)).alias("n"))
+    psz = cells.groupBy("p").agg(F.sum("n").alias("np"))
+    gsz = cells.groupBy("g").agg(F.sum("n").alias("ng"))
+
+    pairs_of = lambda c: (F.col(c) * (F.col(c) - 1)) / 2  # noqa: E731 — double on purpose
+
+    agg = (
+        cells.join(psz, "p")
+        .join(gsz, "g")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_items"),
+            F.coalesce(F.sum(pairs_of("n")), F.lit(0.0)).alias("tp"),
+            # Σ_cells C(np,2)·(n/np) = Σ_p C(np,2): cell-weighted so the
+            # marginal pair sums come out of the SAME single aggregate
+            F.coalesce(
+                F.sum(pairs_of("np") * F.col("n") / F.col("np")), F.lit(0.0)
+            ).alias("pred_pairs"),
+            F.coalesce(
+                F.sum(pairs_of("ng") * F.col("n") / F.col("ng")), F.lit(0.0)
+            ).alias("gold_pairs"),
+            # entropies: H(g) = −Σ_g (ng/N)ln(ng/N), computed cell-weighted
+            # the same way; conditional H(g|p) = −Σ_cells (n/N)ln(n/np)
+            F.coalesce(
+                F.sum(-F.col("n") * F.log(F.col("ng"))), F.lit(0.0)
+            ).alias("hg_num"),
+            F.coalesce(
+                F.sum(-F.col("n") * F.log(F.col("np"))), F.lit(0.0)
+            ).alias("hp_num"),
+            F.coalesce(
+                F.sum(-F.col("n") * F.log(F.col("n"))), F.lit(0.0)
+            ).alias("hcell_num"),
+        )
+    )
+    n = F.col("n_items").cast("double")
+    # H(X) = ln N − (1/N) Σ n_x ln n_x ; H(g|p) = (1/N)(Σ n ln np − Σ n ln n)
+    hg = F.when(n > 0, F.log(n) + F.col("hg_num") / n).otherwise(F.lit(0.0))
+    hp = F.when(n > 0, F.log(n) + F.col("hp_num") / n).otherwise(F.lit(0.0))
+    hg_given_p = F.when(n > 0, (F.col("hcell_num") - F.col("hp_num")) / n).otherwise(F.lit(0.0))
+    hp_given_g = F.when(n > 0, (F.col("hcell_num") - F.col("hg_num")) / n).otherwise(F.lit(0.0))
+    homog = F.when(hg > 0, 1.0 - hg_given_p / hg).otherwise(F.lit(1.0))
+    compl = F.when(hp > 0, 1.0 - hp_given_g / hp).otherwise(F.lit(1.0))
+
+    tp = F.col("tp")
+    fp = F.col("pred_pairs") - tp
+    fn = F.col("gold_pairs") - tp
+    tn = n * (n - 1) / 2 - F.col("pred_pairs") - F.col("gold_pairs") + tp
+    ari = F.when((fp == 0) & (fn == 0), F.lit(1.0)).otherwise(
+        2.0 * (tp * tn - fn * fp) / ((tp + fn) * (fn + tn) + (tp + fp) * (fp + tn))
+    )
+    return agg.select(
+        "n_items",
+        ari.alias("ari"),
+        homog.alias("homogeneity"),
+        compl.alias("completeness"),
+        F.when(homog + compl > 0, 2 * homog * compl / (homog + compl))
+        .otherwise(F.lit(0.0))
+        .alias("v_measure"),
+    )
+
+
 def pairwise_f1(links: DataFrame, labels: DataFrame) -> dict:
     """links: linker output (conv_id, turn_idx, text, start, entity_id, ...)
     labels: (conv_id, turn_idx, mention, start, gold_entity, block_key, ...)

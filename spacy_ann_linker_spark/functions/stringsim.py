@@ -195,3 +195,85 @@ def make_jaro_winkler_udf(
 
 # default instance used by the rescue hot path (case-folded, always-boost)
 jaro_winkler_udf = make_jaro_winkler_udf()
+
+
+def _tokens(col):
+    return F.array_distinct(
+        F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda w: w != "")
+    )
+
+
+def monge_elkan_pairs(
+    pairs,
+    left_col: str = "name_a",
+    right_col: str = "name_b",
+    boost_threshold: float = 0.7,
+    symmetric: bool = False,
+    out_col: str = "me_sim",
+):
+    """Monge-Elkan hybrid similarity (Monge & Elkan 1996) over a pair
+    table: tokenize both names (lowercase, [^a-z0-9]+ splits, distinct —
+    the token_block_pairs convention), then
+
+        ME(A→B) = (1/|A|) Σ_{a∈A} max_{b∈B} JW(a, b)
+
+    with Jaro-Winkler (boost_threshold=0.7 = DuckDB parity) as the inner
+    secondary. The multi-token analogue of plain JW: word reorderings
+    ("Proc. of the VLDB" vs "VLDB proceedings") that destroy a whole-string
+    edit score barely move ME. Asymmetric by definition; symmetric=True
+    returns the mean of both directions (a common symmetrization).
+
+    Scale shape: scoring runs over DISTINCT (left, right) string pairs
+    only (the memo/dedup-first discipline of link/linker.py — repeated
+    name pairs are the norm in ER candidate tables), then joins back to
+    the input on the pair strings. Per distinct pair the token cross
+    product is |A|·|B| rows — names are a handful of tokens, so this is a
+    small constant, not a blow-up — folded by max-per-left-token then
+    mean, both map-side-combinable aggregates. Either side tokenizing to
+    empty scores 0.0 (no token evidence ≠ a match).
+
+    Output: `pairs` + out_col. Column order of the two groupBys keeps the
+    pair strings as the keys, so the join back is an equi-join on the
+    same attributes the aggregation already shuffled on — Catalyst reuses
+    the partitioning instead of adding a fourth shuffle."""
+    jw = make_jaro_winkler_udf(boost_threshold=boost_threshold)
+
+    def _one_direction(distinct_pairs, a_col, b_col, alias):
+        toks = distinct_pairs.select(
+            a_col, b_col, _tokens(F.col(a_col)).alias("_ta"), _tokens(F.col(b_col)).alias("_tb")
+        )
+        exploded = toks.select(
+            a_col,
+            b_col,
+            F.posexplode("_ta").alias("_ia", "_a"),
+            F.col("_tb"),
+        ).select(a_col, b_col, "_ia", "_a", F.explode("_tb").alias("_b"))
+        best = (
+            exploded.withColumn("_jw", jw(F.col("_a"), F.col("_b")))
+            .groupBy(a_col, b_col, "_ia")
+            .agg(F.max("_jw").alias("_best"))
+        )
+        return best.groupBy(a_col, b_col).agg(F.avg("_best").alias(alias))
+
+    distinct = pairs.select(left_col, right_col).distinct()
+    fwd = _one_direction(distinct, left_col, right_col, "_me_fwd")
+    scored = distinct.join(fwd, [left_col, right_col], "left")
+    if symmetric:
+        rev = _one_direction(
+            distinct.select(
+                F.col(right_col).alias(left_col), F.col(left_col).alias(right_col)
+            ).distinct(),
+            left_col,
+            right_col,
+            "_me_rev",
+        ).select(
+            F.col(left_col).alias(right_col), F.col(right_col).alias(left_col), "_me_rev"
+        )
+        scored = scored.join(rev, [left_col, right_col], "left")
+        me = (F.coalesce("_me_fwd", F.lit(0.0)) + F.coalesce("_me_rev", F.lit(0.0))) / 2
+    else:
+        me = F.coalesce("_me_fwd", F.lit(0.0))
+    scored = scored.select(left_col, right_col, me.alias(out_col))
+    return pairs.join(scored, [left_col, right_col], "left").withColumn(
+        out_col, F.coalesce(out_col, F.lit(0.0))
+    )

@@ -306,3 +306,94 @@ def test_bcubed_population_is_id_intersection_and_empty_guard(spark):
     assert (r["n_items"], r["bcubed_precision"], r["bcubed_recall"], r["bcubed_f1"]) == (
         0, 0.0, 0.0, 0.0,
     )
+
+
+# ---- cluster_agreement_metrics (ARI + V-measure) ----------------------------
+
+
+def _agreement_py(p, g):
+    """Independent per-definition computation: ARI via pair confusion,
+    V-measure via entropies — no contingency-identity shortcuts."""
+    import itertools
+    import math
+
+    ids = sorted(p)
+    n = len(ids)
+    tp = fp = fn = tn = 0
+    for a, b in itertools.combinations(ids, 2):
+        sp, sg = p[a] == p[b], g[a] == g[b]
+        tp += sp and sg
+        fp += sp and not sg
+        fn += (not sp) and sg
+        tn += (not sp) and (not sg)
+    if fp == 0 and fn == 0:
+        ari = 1.0
+    else:
+        ari = 2.0 * (tp * tn - fn * fp) / ((tp + fn) * (fn + tn) + (tp + fp) * (fp + tn))
+
+    from collections import Counter
+
+    pc, gc = Counter(p.values()), Counter(g.values())
+    cells = Counter((p[i], g[i]) for i in ids)
+    hg = -sum(c / n * math.log(c / n) for c in gc.values())
+    hp = -sum(c / n * math.log(c / n) for c in pc.values())
+    hg_p = -sum(c / n * math.log(c / pc[k[0]]) for k, c in cells.items())
+    hp_g = -sum(c / n * math.log(c / gc[k[1]]) for k, c in cells.items())
+    h = 1.0 if hg == 0 else 1 - hg_p / hg
+    c = 1.0 if hp == 0 else 1 - hp_g / hp
+    v = 0.0 if h + c == 0 else 2 * h * c / (h + c)
+    return ari, h, c, v
+
+
+def test_agreement_matches_python_definition_random(spark):
+    import random
+
+    from spacy_ann_linker_spark.evaluate import cluster_agreement_metrics
+
+    rng = random.Random(13)
+    ids = list(range(150))
+    p = {i: rng.randrange(8) for i in ids}
+    g = {i: rng.randrange(5) for i in ids}
+    ari, h, c, v = _agreement_py(p, g)
+    pred = spark.createDataFrame([(i, p[i]) for i in ids], "id int, cluster int")
+    gold = spark.createDataFrame([(i, g[i]) for i in ids], "id int, cluster int")
+    r = cluster_agreement_metrics(pred, gold).first()
+    assert r["ari"] == pytest.approx(ari)
+    assert r["homogeneity"] == pytest.approx(h)
+    assert r["completeness"] == pytest.approx(c)
+    assert r["v_measure"] == pytest.approx(v)
+
+
+def test_agreement_degenerate_conventions(spark):
+    from spacy_ann_linker_spark.evaluate import cluster_agreement_metrics
+
+    same = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2)], "id string, cluster int"
+    )
+    r = cluster_agreement_metrics(same, same).first()
+    assert (r["ari"], r["v_measure"]) == (1.0, 1.0)
+
+    # singletons vs one gold cluster: homogeneity 1 (H(g)=0 convention is
+    # NOT hit here - every pred cluster is pure), completeness 0, ari 0
+    singles = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, cluster int"
+    )
+    onec = spark.createDataFrame(
+        [("a", 9), ("b", 9), ("c", 9)], "id string, cluster int"
+    )
+    r = cluster_agreement_metrics(singles, onec).first()
+    assert r["homogeneity"] == pytest.approx(1.0)
+    assert r["completeness"] == pytest.approx(0.0)
+    assert r["v_measure"] == pytest.approx(0.0)
+    assert r["ari"] == pytest.approx(0.0)
+
+    # both trivial-identical partitions (all singletons): sklearn's 1.0
+    r = cluster_agreement_metrics(singles, singles).first()
+    assert (r["ari"], r["v_measure"]) == (1.0, 1.0)
+
+    # empty input: documented degenerate reading, no nulls/NaNs
+    empty = singles.filter(F.lit(False))
+    r = cluster_agreement_metrics(empty, empty).first()
+    assert (r["n_items"], r["ari"], r["homogeneity"], r["completeness"], r["v_measure"]) == (
+        0, 1.0, 1.0, 1.0, 1.0,
+    )

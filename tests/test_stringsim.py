@@ -102,3 +102,82 @@ def test_jw_boost_threshold_matches_duckdb():
     # default (boost always) differs from the gated convention only below
     # the gate: spot-check the canonical pair
     assert jaro_winkler("NLP", "NPL") > jaro_winkler("NLP", "NPL", boost_threshold=0.7)
+
+
+# ---- monge_elkan_pairs ------------------------------------------------------
+
+
+def _me_py(a: str, b: str) -> float:
+    import re
+
+    ta = list(dict.fromkeys(w for w in re.split(r"[^a-z0-9]+", a.lower()) if w))
+    tb = list(dict.fromkeys(w for w in re.split(r"[^a-z0-9]+", b.lower()) if w))
+    if not ta or not tb:
+        return 0.0
+    return sum(
+        max(jaro_winkler(x, y, boost_threshold=0.7) for y in tb) for x in ta
+    ) / len(ta)
+
+
+def test_monge_elkan_matches_python_reference(spark):
+    import random
+
+    from spacy_ann_linker_spark.functions.stringsim import monge_elkan_pairs
+
+    rng = random.Random(5)
+    words = ["acme", "steel", "works", "global", "inc", "acem", "stela", "word"]
+
+    def name():
+        return " ".join(rng.sample(words, rng.randint(1, 4)))
+
+    rows = [(i, name(), name()) for i in range(60)]
+    df = spark.createDataFrame(rows, "pid int, name_a string, name_b string")
+    got = {
+        r["pid"]: r["me_sim"]
+        for r in monge_elkan_pairs(df).select("pid", "me_sim").collect()
+    }
+    for pid, a, b in rows:
+        assert got[pid] == pytest.approx(_me_py(a, b), abs=1e-9), (a, b)
+
+
+def test_monge_elkan_reorder_invariance_and_asymmetry(spark):
+    from spacy_ann_linker_spark.functions.stringsim import monge_elkan_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "proceedings of the vldb", "vldb proceedings"),
+            (2, "vldb proceedings", "proceedings of the vldb"),
+            (3, "acme steel", "acme steel"),
+            (4, "acme", "???"),
+            (5, "???", "acme"),
+        ],
+        "pid int, name_a string, name_b string",
+    )
+    got = {r["pid"]: r["me_sim"] for r in monge_elkan_pairs(df).collect()}
+    # every left token of (2) has an exact right match -> 1.0; (1) carries
+    # unmatched 'of'/'the' so it is strictly lower: the documented asymmetry
+    assert got[2] == pytest.approx(1.0)
+    assert got[1] < 1.0
+    assert got[3] == pytest.approx(1.0)
+    assert got[4] == 0.0 and got[5] == 0.0  # empty token side scores 0
+
+    sym = {
+        r["pid"]: r["me_sim"]
+        for r in monge_elkan_pairs(df, symmetric=True).collect()
+    }
+    assert sym[1] == pytest.approx(sym[2]) == pytest.approx((got[1] + got[2]) / 2)
+
+
+def test_monge_elkan_duplicate_pairs_scored_once_and_preserved(spark):
+    """The dedup-first memo shape: repeated (a, b) rows all get the same
+    score and multiplicity is preserved in the output."""
+    from spacy_ann_linker_spark.functions.stringsim import monge_elkan_pairs
+
+    df = spark.createDataFrame(
+        [(i, "acme steel", "acme stela") for i in range(7)],
+        "pid int, name_a string, name_b string",
+    )
+    out = monge_elkan_pairs(df).collect()
+    assert len(out) == 7
+    assert len({r["me_sim"] for r in out}) == 1
+    assert out[0]["me_sim"] == pytest.approx(_me_py("acme steel", "acme stela"))

@@ -1188,6 +1188,21 @@ def _q_meta_block_cnp(spark, sf_dir):
     return meta_block_prune(_token_pairs_fixture(spark, sf_dir), "cnp", k=2)
 
 
+def _q_set_similarity_join(spark, sf_dir):
+    """AllPairs prefix-filtering exact Jaccard self-join (extras/dedup.py)
+    on first-6-word document heads at t=0.5 — exact recall (unlike LSH)
+    without the all-pairs join (unlike the brute ground truth); the oracle
+    IS the brute force, so the guarantee is checked end-to-end."""
+    from spacy_ann_linker_spark.extras.dedup import prefix_filter_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 6), " ").alias("head"),
+    )
+    out = prefix_filter_jaccard_pairs(docs, "doc_id", "head", threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
+
+
 def _q_monge_elkan_sim(spark, sf_dir):
     """Monge-Elkan over the jw_similarity pair fixture (consecutive part
     names): token-level max-JW mean, scored on distinct pairs only. The
@@ -1276,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_block_pairs": _q_token_block_pairs,
         "meta_block_wep": _q_meta_block_wep,
         "meta_block_cnp": _q_meta_block_cnp,
+        "set_similarity_join": _q_set_similarity_join,
         "monge_elkan_sim": _q_monge_elkan_sim,
         "topk_terms": _q_topk_terms,
         "group_percentiles": _q_group_percentiles,
@@ -2467,6 +2483,26 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN h + c > 0 THEN 2 * h * c / (h + c)
                           ELSE 0.0 END, 6) AS v_measure
         FROM c
+        """,
+        "set_similarity_join": r"""
+        WITH h AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')
+                   AS head
+          FROM documents
+        ), t AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(regexp_split_to_array(
+                   lower(head), '[^a-z0-9]+'), w -> w <> '')) AS toks
+          FROM h
+        ), nz AS (SELECT * FROM t WHERE len(toks) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.toks, b.toks)) * 1.0
+                     / len(list_distinct(list_concat(a.toks, b.toks))), 6)
+                 AS jaccard
+        FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
         """,
         "monge_elkan_sim": r"""
         WITH a AS (

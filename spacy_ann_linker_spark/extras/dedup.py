@@ -216,6 +216,99 @@ def lsh_verified_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT word-token Jaccard self-join via prefix filtering (AllPairs,
+    Bayardo et al. WWW'07) — the exact-recall scale path between the two
+    existing extremes: ngram_jaccard_pairs (exact but inverted-index
+    quadratic per shared token) and lsh_verified_jaccard_pairs (linear but
+    probabilistic recall). Guarantee: with tokens in one GLOBAL rare-first
+    order, J(A,B) >= t implies A and B share a token inside their first
+    |X| - ceil(t*|X|) + 1 ordered tokens — so joining on PREFIX tokens
+    only loses nothing, and the join input shrinks by the factor t (and in
+    practice far more, because prefixes hold the RAREST tokens, whose
+    posting lists are the shortest — the quadratic df² cost concentrates
+    exactly where df is smallest).
+
+    Plan shape: token df is a corpus stat (one groupBy(tok), the idf
+    discipline of vectorize/tfidf.py), joined back and re-assembled to an
+    ordered in-row array (docs×tokens rows through one join + one groupBy
+    — the same cost TF-IDF fit pays, paid once); candidate generation
+    explodes ONLY the prefix slice; the length filter
+    min >= t*max prunes before the pair groupBy; verification folds exact
+    Jaccard in-row with array_intersect over pair-sized rows (the
+    lsh_verified pattern). Never all-pairs, no false negatives
+    (brute-force parity is property-tested).
+
+    Float guard: ceil(t*L) and the length filter subtract 1e-9 before
+    ceil/compare, so IEEE round-up (e.g. 0.3*10 -> 3.0000000000000004) can
+    only ever LENGTHEN a prefix or ADMIT a borderline pair — errors fall
+    on the safe (verify-side) slope. Records tokenizing to empty are
+    excluded (Jaccard undefined).
+    -> (id_a, id_b, jaccard), jaccard >= threshold, id_a < id_b."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda w: w != "",
+                )
+            )
+        ).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("tok")))
+            ).alias("_ranked")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("_ranked"), lambda s: s["tok"]).alias("toks"),
+        )
+        .withColumn("sz", F.size("toks"))
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+    ).cast("int")
+    pre = ordered.select(
+        "doc_id", "sz", F.explode(F.slice("toks", 1, prefix_len)).alias("ptok")
+    )
+    a = pre.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("_sza"), "ptok")
+    b = pre.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("_szb"), "ptok")
+    cands = (
+        a.join(b, "ptok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("_sza", "_szb")
+                >= F.lit(threshold) * F.greatest("_sza", "_szb") - F.lit(1e-9)
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = ordered.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("_ta"))
+    tb = ordered.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size(F.array_union("_ta", "_tb"))
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

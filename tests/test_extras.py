@@ -771,3 +771,71 @@ def test_winnow_pairs_max_df_drops_boilerplate(spark):
     capped = winnow_pairs(docs, "doc_id", "text", k=5, w=4, min_shared=1, max_df=2).count()
     assert with_all == 6  # C(4,2): every pair shares the header
     assert capped == 0
+
+
+# ---- prefix_filter_jaccard_pairs (AllPairs) ---------------------------------
+
+
+def _jacc_brute(rows, threshold):
+    import itertools
+    import re
+
+    toks = {
+        i: set(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w) for i, t in rows
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(toks), 2):
+        ta, tb = toks[a], toks[b]
+        if not ta or not tb:
+            continue
+        j = len(ta & tb) / len(ta | tb)
+        if j >= threshold:
+            want[(a, b)] = j
+    return want
+
+
+def test_prefix_filter_jaccard_matches_brute_force(spark):
+    """No false negatives AND no false positives vs the quadratic brute
+    force — the AllPairs guarantee, over random token sets at several
+    thresholds (incl. t=0.3, the IEEE ceil-round-up trap: 0.3*10 -> 3.0…04)."""
+    import random
+
+    from spacy_ann_linker_spark.extras.dedup import prefix_filter_jaccard_pairs
+
+    rng = random.Random(31)
+    vocab = [f"w{i:02d}" for i in range(25)]
+    rows = [
+        (i, " ".join(rng.sample(vocab, rng.randrange(0, 11)))) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_filter_jaccard_pairs(df, "id", "text", threshold=t).collect()
+        }
+        want = _jacc_brute(rows, t)
+        assert set(got) == set(want), f"t={t}"
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v)
+
+
+def test_prefix_filter_jaccard_hand_case_and_boundary(spark):
+    from spacy_ann_linker_spark.extras.dedup import prefix_filter_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma zeta"),   # J with 1 = 3/5 = 0.6
+            (3, "alpha beta"),              # J with 1 = 2/4 = 0.5 (boundary)
+            (4, "omega psi"),
+            (5, "???"),                     # empty token set: excluded
+        ],
+        "id int, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(df, "id", "text", threshold=0.5).collect()
+    }
+    assert got.keys() == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)] == pytest.approx(0.6)
+    assert got[(1, 3)] == pytest.approx(0.5)  # >= keeps the exact boundary

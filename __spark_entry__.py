@@ -1188,6 +1188,37 @@ def _q_meta_block_cnp(spark, sf_dir):
     return meta_block_prune(_token_pairs_fixture(spark, sf_dir), "cnp", k=2)
 
 
+def _q_asof_attribution(spark, sf_dir):
+    """As-of join (operators/asof.py): each click attributed to the user's
+    most recent prior view — the union-scan shape (tag, one keyed sort,
+    running last(ignorenulls)); no join node, one shuffle. Oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN, so the semantics (backward, inclusive,
+    left-outer) are engine-pinned, not self-defined. Timestamps travel as
+    epoch micros (exact longs, no string-format parity risk)."""
+    from spacy_ann_linker_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), "user_id", "ts"
+    )
+    out = asof_join(clicks, views, on="user_id", tie_col="view_event_id")
+    # parquet ts is TIMESTAMP_NTZ; the session pins UTC so the cast to
+    # (LTZ) timestamp is tz-neutral and unix_micros matches epoch_us
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    # unmatched rows keep -1 sentinels: DuckDB's pandas bridge floats
+    # nullable BIGINT columns to NaN, which the hash compare can't equate
+    return out.select(
+        "event_id",
+        "user_id",
+        us("ts").alias("click_ts_us"),
+        F.coalesce("view_event_id", F.lit(-1)).alias("view_event_id"),
+        F.coalesce(us("ts") - us("ts_r"), F.lit(-1)).alias("gap_us"),
+    )
+
+
 def _q_set_similarity_join(spark, sf_dir):
     """AllPairs prefix-filtering exact Jaccard self-join (extras/dedup.py)
     on first-6-word document heads at t=0.5 — exact recall (unlike LSH)
@@ -1292,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_block_wep": _q_meta_block_wep,
         "meta_block_cnp": _q_meta_block_cnp,
         "set_similarity_join": _q_set_similarity_join,
+        "asof_attribution": _q_asof_attribution,
         "monge_elkan_sim": _q_monge_elkan_sim,
         "topk_terms": _q_topk_terms,
         "group_percentiles": _q_group_percentiles,
@@ -2483,6 +2515,18 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN h + c > 0 THEN 2 * h * c / (h + c)
                           ELSE 0.0 END, 6) AS v_measure
         FROM c
+        """,
+        "asof_attribution": r"""
+        WITH c AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), v AS (
+          SELECT event_id AS view_event_id, user_id, ts FROM events
+          WHERE event_type = 'view'
+        )
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_ts_us,
+               coalesce(v.view_event_id, -1) AS view_event_id,
+               coalesce(epoch_us(c.ts) - epoch_us(v.ts), -1) AS gap_us
+        FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "set_similarity_join": r"""
         WITH h AS (

@@ -1219,6 +1219,33 @@ def _q_asof_attribution(spark, sf_dir):
     )
 
 
+def _q_interval_join(spark, sf_dir):
+    """Bucketized range join (operators/interval.py): clicks landing inside
+    ±300 s purchase windows per user. The plan is an EQUI-join on
+    (user_id, time bucket) + exact-bounds filter — never the
+    BroadcastNestedLoop a raw BETWEEN join degenerates to (plan-asserted
+    in tests/test_interval.py); granularity invariance is also tested."""
+    from spacy_ann_linker_spark.operators.interval import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 300 SECONDS")).alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("end_ts"),
+    )
+    out = interval_join(clicks, purchases, on="user_id", granularity_s=600)
+    return out.select(
+        "click_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_ts_us"),
+        "purchase_id",
+    )
+
+
 def _q_set_similarity_join(spark, sf_dir):
     """AllPairs prefix-filtering exact Jaccard self-join (extras/dedup.py)
     on first-6-word document heads at t=0.5 — exact recall (unlike LSH)
@@ -1324,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_block_cnp": _q_meta_block_cnp,
         "set_similarity_join": _q_set_similarity_join,
         "asof_attribution": _q_asof_attribution,
+        "interval_join_windows": _q_interval_join,
         "monge_elkan_sim": _q_monge_elkan_sim,
         "topk_terms": _q_topk_terms,
         "group_percentiles": _q_group_percentiles,
@@ -2515,6 +2543,20 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN h + c > 0 THEN 2 * h * c / (h + c)
                           ELSE 0.0 END, 6) AS v_measure
         FROM c
+        """,
+        "interval_join_windows": r"""
+        WITH c AS (
+          SELECT event_id AS click_id, user_id, ts FROM events
+          WHERE event_type = 'click'
+        ), p AS (
+          SELECT event_id AS purchase_id, user_id,
+                 ts - INTERVAL 300 SECOND AS s,
+                 ts + INTERVAL 300 SECOND AS e
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.click_id, c.user_id, epoch_us(c.ts) AS click_ts_us,
+               p.purchase_id
+        FROM c JOIN p ON c.user_id = p.user_id AND c.ts >= p.s AND c.ts <= p.e
         """,
         "asof_attribution": r"""
         WITH c AS (

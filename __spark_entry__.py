@@ -1261,6 +1261,23 @@ def _q_set_similarity_join(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
 
 
+def _q_soft_tfidf_sim(spark, sf_dir):
+    """Soft TF-IDF (functions/stringsim.py) on the consecutive part-name
+    pairs, corpus = the whole part table: fuzzy (JW>0.9) token matches
+    weighted by both tokens' L2-normalized ln(1+N/df) weights. The argmax
+    compares 9-dp-rounded JW so both engines pick the same best token."""
+    from spacy_ann_linker_spark.functions.stringsim import soft_tfidf_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("text")
+    )
+    a = part.filter(F.col("id") <= 300).select(F.col("id").alias("id_a"))
+    b = part.select((F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b"))
+    pairs = a.join(b, "id_a")
+    out = soft_tfidf_pairs(part, pairs)
+    return out.select("id_a", F.round("soft_tfidf", R).alias("soft_tfidf"))
+
+
 def _q_monge_elkan_sim(spark, sf_dir):
     """Monge-Elkan over the jw_similarity pair fixture (consecutive part
     names): token-level max-JW mean, scored on distinct pairs only. The
@@ -1353,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": _q_asof_attribution,
         "interval_join_windows": _q_interval_join,
         "monge_elkan_sim": _q_monge_elkan_sim,
+        "soft_tfidf_sim": _q_soft_tfidf_sim,
         "topk_terms": _q_topk_terms,
         "group_percentiles": _q_group_percentiles,
         "fellegi_sunter_score": _q_fellegi_sunter_score,
@@ -2611,6 +2629,49 @@ def oracle_sql() -> dict[str, str]:
                                    jaro_winkler_similarity(x, y)))))
                      END, 6) AS me_sim
         FROM pr
+        """,
+        "soft_tfidf_sim": r"""
+        WITH r AS (SELECT p_partkey AS id, p_name AS text FROM part),
+        tk AS (
+          SELECT id, unnest(list_distinct(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+            w -> w <> ''))) AS tok
+          FROM r
+        ),
+        nn AS (SELECT count(DISTINCT id) AS n FROM r),
+        d AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+        raw AS (
+          SELECT id, tok, ln(1 + nn.n * 1.0 / d.df) AS w
+          FROM tk JOIN d USING (tok) CROSS JOIN nn
+        ),
+        nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM raw GROUP BY id),
+        wt AS (SELECT id, tok, w / nrm AS w FROM raw JOIN nrm USING (id)),
+        pr AS (
+          SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+          FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+          WHERE a.p_partkey <= 300
+        ),
+        crossed AS (
+          SELECT pr.id_a, pr.id_b, wa.tok AS ta, wa.w AS wa,
+                 wb.tok AS tb, wb.w AS wb,
+                 round(jaro_winkler_similarity(wa.tok, wb.tok), 9) AS jw
+          FROM pr
+          JOIN wt wa ON wa.id = pr.id_a
+          JOIN wt wb ON wb.id = pr.id_b
+        ),
+        best AS (
+          SELECT id_a, id_b, ta, wa, jw, wb,
+                 row_number() OVER (PARTITION BY id_a, id_b, ta
+                                    ORDER BY jw DESC, tb ASC) AS rn
+          FROM crossed
+        ),
+        sc AS (
+          SELECT id_a, id_b, sum(wa * wb * jw) AS s
+          FROM best WHERE rn = 1 AND jw > 0.9
+          GROUP BY 1, 2
+        )
+        SELECT pr.id_a, round(coalesce(sc.s, 0.0), 6) AS soft_tfidf
+        FROM pr LEFT JOIN sc USING (id_a, id_b)
         """,
         "dedup_simhash": r"""
         WITH norm AS (

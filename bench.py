@@ -234,6 +234,14 @@ def run_bench(cpus: int) -> dict:
         "topk_terms",
         "group_percentiles",
         "fellegi_sunter_score",
+        "bcubed_metrics",
+        "cluster_agreement",
+        "token_block_pairs",
+        "meta_block_cnp",
+        "set_similarity_join",
+        "monge_elkan_sim",
+        "asof_attribution",
+        "interval_join_windows",
     ]:
         t0 = time.perf_counter()
         _noop(queries[name](spark, SF_DIR))

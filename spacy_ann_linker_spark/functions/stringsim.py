@@ -203,6 +203,84 @@ def _tokens(col):
     )
 
 
+def soft_tfidf_pairs(
+    records,
+    pairs,
+    id_col: str = "id",
+    text_col: str = "text",
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    theta: float = 0.9,
+    boost_threshold: float = 0.7,
+    out_col: str = "soft_tfidf",
+):
+    """Soft TF-IDF (Cohen, Ravikumar & Fienberg, IIWeb 2003) — the third
+    classic hybrid ER similarity next to plain JW and Monge-Elkan: token
+    matches are FUZZY (Jaro-Winkler above `theta`) but each match is
+    weighted by both tokens' corpus TF-IDF weight, so agreeing on a rare
+    surname counts far more than agreeing on "inc".
+
+        score(A,B) = Σ_{a∈A, jw(a,b*)>θ} w(a,A) · w(b*,B) · jw(a, b*)
+        b* = argmax_{b∈B} jw(a,b)   (ties: jw 9-dp rounded, then token asc)
+
+    Convention pinned here (SecondString leaves it open): tokens are the
+    DISTINCT lowercase [^a-z0-9]+ splits (tf = 1), idf = ln(1 + N/df),
+    weights L2-normalized per record — so score(A,A) = 1 exactly. The
+    argmax compares jw ROUNDED to 9 decimals: our batch JW and DuckDB's
+    agree to <1e-12, so the oracle's argmax picks the same b* instead of
+    flipping on 1e-15 noise.
+
+    `records` (id, text) defines the corpus (df, N — the idf discipline of
+    vectorize/tfidf.py: one groupBy(tok), one one-row count broadcast);
+    `pairs` names which (left_id, right_id) to score. Scale shape: weights
+    attach to pairs by two id equi-joins; the per-pair token cross product
+    (|A|·|B| rows, names are a handful of tokens) folds by one max_by and
+    one sum — both map-side-combinable. Pairs with no close token (or an
+    empty side) score 0.0."""
+    jw = make_jaro_winkler_udf(boost_threshold=boost_threshold)
+
+    toks = records.select(
+        F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    n_docs = records.select(F.countDistinct(id_col).alias("_n"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    raw = (
+        toks.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select("_id", "tok", F.log(1.0 + F.col("_n") / F.col("_df")).alias("_w"))
+    )
+    norms = raw.groupBy("_id").agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nrm"))
+    weights = raw.join(norms, "_id").select(
+        "_id", "tok", (F.col("_w") / F.col("_nrm")).alias("_w")
+    )
+
+    pa = pairs.select(left_id, right_id).distinct()
+    wa = weights.select(
+        F.col("_id").alias(left_id), F.col("tok").alias("_ta"), F.col("_w").alias("_wa")
+    )
+    wb = weights.select(
+        F.col("_id").alias(right_id), F.col("tok").alias("_tb"), F.col("_w").alias("_wb")
+    )
+    crossed = pa.join(wa, left_id).join(wb, right_id).withColumn(
+        "_jw", F.round(jw(F.col("_ta"), F.col("_tb")), 9)
+    )
+    best = crossed.groupBy(left_id, right_id, "_ta", "_wa").agg(
+        # argmax jw with ASCENDING token tie-break: min_by over (-jw, tok)
+        F.min_by(
+            F.struct("_jw", "_wb"),
+            F.struct((-F.col("_jw")).alias("_njw"), F.col("_tb")),
+        ).alias("_b")
+    )
+    scored = (
+        best.filter(F.col("_b")["_jw"] > F.lit(theta))
+        .groupBy(left_id, right_id)
+        .agg(F.sum(F.col("_wa") * F.col("_b")["_wb"] * F.col("_b")["_jw"]).alias(out_col))
+    )
+    return pairs.join(scored, [left_id, right_id], "left").withColumn(
+        out_col, F.coalesce(out_col, F.lit(0.0))
+    )
+
+
 def monge_elkan_pairs(
     pairs,
     left_col: str = "name_a",

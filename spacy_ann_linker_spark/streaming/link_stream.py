@@ -219,3 +219,32 @@ def session_stats_stream(
             "total_value",
         )
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the stream form of extras/dedup.exact_dedup:
+    key = md5 of the normalized text (same normalize() as the batch
+    operator, so batch and stream agree on WHICH rows are duplicates), then
+    dropDuplicatesWithinWatermark. The state store holds one key per
+    distinct document inside the watermark horizon and evicts it after —
+    bounded state on an unbounded stream, the property a plain
+    dropDuplicates (state grows forever) doesn't have. Duplicates farther
+    apart in event time than the watermark are NOT caught (the documented
+    trade; the batch dedup is the exact ground truth on bounded data).
+    First arrival wins within a micro-batch pipeline; emitted rows keep
+    the full input schema."""
+    from spacy_ann_linker_spark.extras.dedup import normalize
+
+    keyed = stream.withColumn("_dk", F.md5(normalize(F.col(text_col)))).withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_dk"])
+        .drop("_dk")
+    )

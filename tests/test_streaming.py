@@ -218,3 +218,60 @@ def test_session_stats_stream_matches_batch(spark, tmp_path):
     # (unfinalized) session per user can be missing
     assert len(batch) - len(streamed) <= n_users
     assert len(streamed) > 0
+
+
+def test_dedup_stream_matches_batch_key_set(spark, tmp_path):
+    """Streaming exact dedup must emit exactly one row per distinct
+    normalized-text key (batch parity on the KEY SET — which physical row
+    survives is arrival-order-dependent by design)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spacy_ann_linker_spark.extras.dedup import normalize
+    from spacy_ann_linker_spark.streaming.link_stream import dedup_stream
+
+    rows = []
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    texts = ["Hello  World", "hello world", "other doc", "Other   DOC", "unique"]
+    for i, t in enumerate(texts * 3):
+        rows.append((i, t, base + dt.timedelta(seconds=i)))
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    # several files so maxFilesPerTrigger exercises cross-micro-batch state
+    batch_df.repartition(4).write.mode("overwrite").parquet(src)
+    batch_read = spark.read.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_read.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = dedup_stream(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from dedup_stream_t").collect()
+    got_keys = [r["text"].lower().split() for r in got]
+    # one row per distinct key, and schema preserved
+    assert len(got) == len({tuple(k) for k in got_keys}) == 3
+    want_keys = {
+        tuple(r["k"].split("|"))
+        for r in batch_read.select(
+            F.array_join(F.split(normalize(F.col("text")), " "), "|").alias("k")
+        )
+        .distinct()
+        .collect()
+    }
+    assert {tuple(k) for k in got_keys} == want_keys
+    assert set(got[0].asDict()) == {"doc_id", "text", "ts"}

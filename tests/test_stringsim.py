@@ -181,3 +181,102 @@ def test_monge_elkan_duplicate_pairs_scored_once_and_preserved(spark):
     assert len(out) == 7
     assert len({r["me_sim"] for r in out}) == 1
     assert out[0]["me_sim"] == pytest.approx(_me_py("acme steel", "acme stela"))
+
+
+# ---- soft_tfidf_pairs -------------------------------------------------------
+
+
+def _soft_tfidf_py(recs, pairs, theta=0.9):
+    """Independent per-definition implementation (distinct lowercase
+    tokens, idf = ln(1+N/df), L2 per-record norm, argmax by 9-dp-rounded
+    JW then token asc)."""
+    import math
+    import re
+    from collections import Counter
+
+    toks = {
+        i: sorted(set(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w))
+        for i, t in recs
+    }
+    n = len(recs)
+    df = Counter(t for ts in toks.values() for t in ts)
+    w = {}
+    for i, ts in toks.items():
+        raw = {t: math.log(1 + n / df[t]) for t in ts}
+        nrm = math.sqrt(sum(v * v for v in raw.values()))
+        w[i] = {t: v / nrm for t, v in raw.items()} if nrm else {}
+    out = {}
+    for a, b in pairs:
+        s = 0.0
+        for ta in toks[a]:
+            cands = [
+                (round(jaro_winkler(ta, tb, boost_threshold=0.7), 9), tb)
+                for tb in toks[b]
+            ]
+            if not cands:
+                continue
+            jwv, tb = min(cands, key=lambda c: (-c[0], c[1]))
+            # min on (-jw, token) == argmax jw with token ASC ties
+            if jwv > theta:
+                s += w[a][ta] * w[b][tb] * jwv
+        out[(a, b)] = s
+    return out
+
+
+def test_soft_tfidf_matches_python_reference(spark):
+    import random
+
+    from spacy_ann_linker_spark.functions.stringsim import soft_tfidf_pairs
+
+    rng = random.Random(17)
+    words = ["acme", "steel", "works", "global", "inc", "acem", "stela", "corp"]
+    recs = [(i, " ".join(rng.sample(words, rng.randint(1, 4)))) for i in range(40)]
+    prs = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    rdf = spark.createDataFrame(recs, "id int, text string")
+    pdf = spark.createDataFrame(prs, "id_a int, id_b int").distinct()
+    got = {
+        (r["id_a"], r["id_b"]): r["soft_tfidf"]
+        for r in soft_tfidf_pairs(rdf, pdf).collect()
+    }
+    want = _soft_tfidf_py(recs, set(prs))
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_soft_tfidf_self_pair_is_one_and_rare_token_dominates(spark):
+    from spacy_ann_linker_spark.functions.stringsim import soft_tfidf_pairs
+
+    recs = [
+        (1, "zyxwv inc"),
+        (2, "zyxwv corp"),
+        (3, "acme inc"),
+        (4, "acme corp"),
+        (5, "other inc"),
+    ]
+    rdf = spark.createDataFrame(recs, "id int, text string")
+    pdf = spark.createDataFrame(
+        [(1, 1), (1, 2), (3, 5)], "id_a int, id_b int"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["soft_tfidf"]
+        for r in soft_tfidf_pairs(rdf, pdf).collect()
+    }
+    assert got[(1, 1)] == pytest.approx(1.0)  # L2 norm -> self-score 1
+    # sharing the unique 'zyxwv' outweighs sharing the common 'inc'
+    assert got[(1, 2)] > got[(3, 5)] > 0.0
+
+
+def test_soft_tfidf_no_close_tokens_scores_zero_and_keeps_row(spark):
+    from spacy_ann_linker_spark.functions.stringsim import soft_tfidf_pairs
+
+    rdf = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "???")],
+        "id int, text string",
+    )
+    pdf = spark.createDataFrame([(1, 2), (1, 3)], "id_a int, id_b int")
+    got = {
+        (r["id_a"], r["id_b"]): r["soft_tfidf"]
+        for r in soft_tfidf_pairs(rdf, pdf, theta=0.95).collect()
+    }
+    assert got == {(1, 2): 0.0, (1, 3): 0.0}

@@ -668,6 +668,37 @@ def _q_jw_similarity(spark, sf_dir):
     )
 
 
+def _q_dl_similarity(spark, sf_dir):
+    """True Damerau-Levenshtein (functions/stringsim.py, Lowrance-Wagner)
+    over the consecutive part-name pairs — transposition-aware edit
+    distance Spark lacks built-in, pinned against DuckDB's
+    damerau_levenshtein. ASCII fixture: DuckDB computes UTF-8 BYTE
+    distance while we compute codepoints (Spark levenshtein convention);
+    identical on ASCII, divergence pinned in tests/test_stringsim.py."""
+    from spacy_ann_linker_spark.functions.stringsim import damerau_levenshtein_udf
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_name")
+    a = part.filter(F.col("p_partkey") <= 300).select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a")
+    )
+    b = part.select((F.col("p_partkey") - 1).alias("id_a"), F.col("p_name").alias("name_b"))
+    j = a.join(b, "id_a").select(
+        "id_a",
+        damerau_levenshtein_udf(F.col("name_a"), F.col("name_b")).alias("dl_dist"),
+        F.greatest(F.length("name_a"), F.length("name_b")).alias("_mx"),
+    )
+    return j.select(
+        "id_a",
+        "dl_dist",
+        F.round(
+            F.when(F.col("_mx") == 0, F.lit(1.0)).otherwise(
+                1.0 - F.col("dl_dist") / F.col("_mx")
+            ),
+            R,
+        ).alias("dl_sim"),
+    )
+
+
 def _q_prefix_block_pairs(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
     a = docs.select(F.col("doc_id").alias("id_a"), F.lower(F.substring("text", 1, 8)).alias("_bk"))
@@ -1350,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_pii": _q_scrub_pii,
         "cdc_chunks": _q_cdc_chunks,
         "jw_similarity": _q_jw_similarity,
+        "dl_similarity": _q_dl_similarity,
         "prefix_block_pairs": _q_prefix_block_pairs,
         "event_time_window": _q_event_time_window,
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -1374,11 +1406,145 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_terms": _q_topk_terms,
         "group_percentiles": _q_group_percentiles,
         "fellegi_sunter_score": _q_fellegi_sunter_score,
+        "fs_tf_adjusted": _q_fs_tf_adjusted,
+        "cascade_link": _q_cascade_link,
         "multimodal_decode": _q_multimodal,
     }
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _q_cascade_link(spark, sf_dir):
+    """Waterfall rule-cascade linkage (link/cascade.py): ordered
+    deterministic match tiers, first-match-wins with tier provenance.
+    Customer self-linkage fixture — tier 0 exact whole-dollar balance
+    (NULLed on custkey % 7 to exercise NULL-key skip), tier 1
+    nation+kiloband, tier 2 market segment; smallest id_b breaks
+    in-tier ties. Unmatched lefts emit -1/'unmatched' (coalesced on BOTH
+    engines — the nullable-int NaN bridge pitfall)."""
+    from spacy_ann_linker_spark.link.cascade import cascade_link
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    left = cust.filter(F.col("c_custkey") <= 300).select(
+        F.col("c_custkey").alias("id_a"), "c_mktsegment", "c_nationkey", "c_acctbal"
+    )
+    right = cust.select(
+        F.col("c_custkey").alias("id_b"), "c_mktsegment", "c_nationkey", "c_acctbal"
+    )
+    nat_band = F.concat_ws(
+        "|",
+        F.col("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int"),
+    )
+    tiers = [
+        (
+            "dollar",
+            F.when(F.col("id_a") % 7 == 0, F.lit(None)).otherwise(
+                F.floor("c_acctbal").cast("long")
+            ),
+            F.floor("c_acctbal").cast("long"),
+        ),
+        ("nat_balband", nat_band, nat_band),
+        ("segment", F.col("c_mktsegment"), F.col("c_mktsegment")),
+    ]
+    out = cascade_link(
+        left, right, tiers, exclude_self=True, keep_unmatched=True
+    )
+    return out.select(
+        "id_a",
+        F.coalesce("id_b", F.lit(-1)).alias("id_b"),
+        F.coalesce("tier", F.lit("unmatched")).alias("tier"),
+    )
+
+
+_FS_TF_MU = {"seg": (0.90, 0.20), "nat": (0.95, 0.04)}
+
+
+def _q_fs_tf_adjusted(spark, sf_dir):
+    """Term-frequency-adjusted Fellegi-Sunter scoring (the Splink
+    tf_adjustments idea, cluster/fellegi_sunter.fellegi_sunter_score_tf):
+    agreement weight corrected by log2(u / tf(value)) so rare-value
+    agreement outweighs common-value agreement. Same consecutive-customer
+    pair fixture as fellegi_sunter_score; seg_a NULLed on custkey % 13 to
+    exercise the missing-field path; TF dims broadcast-joined."""
+    from spacy_ann_linker_spark.cluster.fellegi_sunter import (
+        fellegi_sunter_score_tf,
+        term_frequencies,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = cust.filter(F.col("c_custkey") <= 500).select(
+        F.col("c_custkey").alias("id_a"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("seg_a"),
+        F.col("c_nationkey").alias("nat_a"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") - 1).alias("id_a"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_nationkey").alias("nat_b"),
+    )
+    pairs = a.join(b, "id_a")
+    tfs = {
+        "seg": term_frequencies(cust.select(F.col("c_mktsegment").alias("seg")), "seg"),
+        "nat": term_frequencies(cust.select(F.col("c_nationkey").alias("nat")), "nat"),
+    }
+    out = fellegi_sunter_score_tf(pairs, _FS_TF_MU, tfs)
+    return out.select("id_a", "id_b", F.round("fs_score", R).alias("fs_tf_score"))
+
+
+def _fs_tf_oracle_sql() -> str:
+    """TF-adjusted FS oracle: literal log2(m/u) doubles via repr (same
+    trick as _fs_oracle_sql); the per-value log2(u/tf) runs in-engine, so
+    the score rounds to 6 dp instead of claiming byte-exactness."""
+    import math
+
+    w = {
+        f: (repr(math.log2(m / u)), repr(math.log2((1.0 - m) / (1.0 - u))), repr(u))
+        for f, (m, u) in _FS_TF_MU.items()
+    }
+    seg_a, seg_d, seg_u = w["seg"]
+    nat_a, nat_d, nat_u = w["nat"]
+    return f"""
+        WITH tf_seg AS (
+          SELECT c_mktsegment AS v,
+                 count(*) / (SELECT count(*)::DOUBLE FROM customer
+                             WHERE c_mktsegment IS NOT NULL) AS tf
+          FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1
+        ),
+        tf_nat AS (
+          SELECT c_nationkey AS v,
+                 count(*) / (SELECT count(*)::DOUBLE FROM customer
+                             WHERE c_nationkey IS NOT NULL) AS tf
+          FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1
+        ),
+        pr AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                 CASE WHEN a.c_custkey % 13 = 0 THEN NULL
+                      ELSE a.c_mktsegment END AS seg_a,
+                 b.c_mktsegment AS seg_b,
+                 a.c_nationkey AS nat_a, b.c_nationkey AS nat_b
+          FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+          WHERE a.c_custkey <= 500
+        )
+        SELECT id_a, id_b, round(
+            (CASE WHEN seg_a IS NULL OR seg_b IS NULL THEN 0.0
+                  WHEN seg_a = seg_b THEN {seg_a}
+                       + CASE WHEN ts.tf IS NOT NULL
+                              THEN log2({seg_u} / ts.tf) ELSE 0.0 END
+                  ELSE {seg_d} END)
+          + (CASE WHEN nat_a IS NULL OR nat_b IS NULL THEN 0.0
+                  WHEN nat_a = nat_b THEN {nat_a}
+                       + CASE WHEN tn.tf IS NOT NULL
+                              THEN log2({nat_u} / tn.tf) ELSE 0.0 END
+                  ELSE {nat_d} END), 6) AS fs_tf_score
+        FROM pr
+        LEFT JOIN tf_seg ts ON ts.v = pr.seg_a
+        LEFT JOIN tf_nat tn ON tn.v = pr.nat_a
+        """
 
 
 def _fs_oracle_sql() -> str:
@@ -2238,6 +2404,17 @@ def oracle_sql() -> dict[str, str]:
         FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
         WHERE a.p_partkey <= 300
         """,
+        "dl_similarity": """
+        SELECT a.p_partkey AS id_a,
+               damerau_levenshtein(a.p_name, b.p_name)::INT AS dl_dist,
+               round(CASE WHEN greatest(length(a.p_name), length(b.p_name)) = 0
+                          THEN 1.0
+                          ELSE 1.0 - damerau_levenshtein(a.p_name, b.p_name) * 1.0
+                               / greatest(length(a.p_name), length(b.p_name))
+                     END, 6) AS dl_sim
+        FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        WHERE a.p_partkey <= 300
+        """,
         "prefix_block_pairs": """
         WITH k AS (
           SELECT doc_id, lower(substring(text, 1, 8)) AS bk FROM documents WHERE doc_id < 100
@@ -2773,6 +2950,44 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rn <= 10
         """,
         "fellegi_sunter_score": _fs_oracle_sql(),
+        "fs_tf_adjusted": _fs_tf_oracle_sql(),
+        "cascade_link": """
+        WITH l AS (
+          SELECT c_custkey AS id_a,
+                 CASE WHEN c_custkey % 7 = 0 THEN NULL
+                      ELSE floor(c_acctbal)::BIGINT END AS k1,
+                 c_nationkey::VARCHAR || '|' ||
+                   floor(c_acctbal / 1000.0)::INT::VARCHAR AS k2,
+                 c_mktsegment AS k3
+          FROM customer WHERE c_custkey <= 300
+        ),
+        r AS (
+          SELECT c_custkey AS id_b,
+                 floor(c_acctbal)::BIGINT AS k1,
+                 c_nationkey::VARCHAR || '|' ||
+                   floor(c_acctbal / 1000.0)::INT::VARCHAR AS k2,
+                 c_mktsegment AS k3
+          FROM customer
+        ),
+        u AS (
+          SELECT id_a, id_b, 0 AS ti, 'dollar' AS tier
+          FROM l JOIN r ON l.k1 = r.k1
+          UNION ALL
+          SELECT id_a, id_b, 1, 'nat_balband' FROM l JOIN r ON l.k2 = r.k2
+          UNION ALL
+          SELECT id_a, id_b, 2, 'segment' FROM l JOIN r ON l.k3 = r.k3
+        ),
+        f AS (
+          SELECT id_a, id_b, tier,
+                 row_number() OVER (PARTITION BY id_a ORDER BY ti, id_b) AS rn
+          FROM u WHERE id_a <> id_b
+        )
+        SELECT li.id_a,
+               coalesce(f.id_b, -1) AS id_b,
+               coalesce(f.tier, 'unmatched') AS tier
+        FROM (SELECT DISTINCT id_a FROM l) li
+        LEFT JOIN f ON f.id_a = li.id_a AND f.rn = 1
+        """,
         "group_percentiles": r"""
         SELECT source,
                round(quantile_cont(length(text), 0.25), 6) AS p25,

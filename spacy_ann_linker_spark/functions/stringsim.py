@@ -197,6 +197,136 @@ def make_jaro_winkler_udf(
 jaro_winkler_udf = make_jaro_winkler_udf()
 
 
+def damerau_levenshtein(s1: str, s2: str) -> int:
+    """Scalar TRUE (unrestricted) Damerau-Levenshtein distance —
+    Lowrance-Wagner 1975, the variant DuckDB's `damerau_levenshtein`
+    computes (dl("ca","abc")=2, where the restricted/OSA variant says 3).
+    Spark has no built-in for this (F.levenshtein lacks transpositions);
+    transposition-aware edit cost matters for ER because swapped adjacent
+    letters ("recieve"/"receive", keyboard slips) are the single most
+    common typo class and plain Levenshtein double-charges them."""
+    la, lb = len(s1), len(s2)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    inf = la + lb
+    da: dict[str, int] = {}
+    # dm[i+1][j+1] == d[i][j]; row/col 0 hold the `inf` sentinel boundary
+    dm = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        dm[i + 1][1] = i
+    for j in range(lb + 1):
+        dm[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        ci = s1[i - 1]
+        for j in range(1, lb + 1):
+            cj = s2[j - 1]
+            k = da.get(cj, 0)
+            l = db
+            if ci == cj:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            dm[i + 1][j + 1] = min(
+                dm[i][j] + cost,  # substitute / match
+                dm[i + 1][j] + 1,  # insert
+                dm[i][j + 1] + 1,  # delete
+                dm[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transpose block
+            )
+        da[ci] = i
+    return dm[la + 1][lb + 1]
+
+
+def damerau_levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """Batch-vectorized Lowrance-Wagner DL, identical to the scalar
+    reference (DuckDB-parity property-tested). Same shape discipline as
+    jaro_winkler_batch: the DP is sequential in CELL position but
+    independent across PAIRS, so the i,j loops run over positions
+    (O(L^2) iterations, L = max string length in the batch) with every
+    step a full-batch numpy op. The `da` last-occurrence table the true-DL
+    recurrence needs is a (B, 256) array on the latin-1 fast path; batches
+    with any non-latin-1 char fall back to the scalar loop (rare for
+    mention/alias text, correctness identical).
+
+    Padding safety: pad code 0 never matches a real char, and garbage DP
+    cells beyond a pair's (la, lb) corner are written only AFTER the
+    pair's answer cell dm[la+1][lb+1] is final (row-major sweep), so
+    per-pair answers are exact despite the shared padded width."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.fromiter(map(len, a), dtype=np.int64, count=n)
+    lb = np.fromiter(map(len, b), dtype=np.int64, count=n)
+    try:
+        pa = np.frombuffer("".join(a).encode("latin-1"), dtype=np.uint8)
+        pb = np.frombuffer("".join(b).encode("latin-1"), dtype=np.uint8)
+    except UnicodeEncodeError:
+        return np.fromiter(
+            (damerau_levenshtein(x, y) for x, y in zip(a, b)),
+            dtype=np.int64,
+            count=n,
+        )
+    l1 = int(la.max()) if n else 0
+    l2 = int(lb.max()) if n else 0
+    wa = np.zeros((n, max(l1, 1)), dtype=np.uint8)
+    wb = np.zeros((n, max(l2, 1)), dtype=np.uint8)
+    if l1:
+        wa[np.arange(wa.shape[1])[None, :] < la[:, None]] = pa
+    if l2:
+        wb[np.arange(wb.shape[1])[None, :] < lb[:, None]] = pb
+    inf = (la + lb).astype(np.int32)
+    dm = np.zeros((n, l1 + 2, l2 + 2), dtype=np.int32)
+    dm[:, 0, :] = inf[:, None]
+    dm[:, :, 0] = inf[:, None]
+    dm[:, 1, 1:] = np.arange(l2 + 1, dtype=np.int32)[None, :]
+    dm[:, 1:, 1] = np.arange(l1 + 1, dtype=np.int32)[None, :]
+    bidx = np.arange(n)
+    da = np.zeros((n, 256), dtype=np.int32)
+    for i in range(1, l1 + 1):
+        db = np.zeros(n, dtype=np.int32)
+        ci = wa[:, i - 1].astype(np.int64)
+        for j in range(1, l2 + 1):
+            cj = wb[:, j - 1].astype(np.int64)
+            k = da[bidx, cj]
+            l = db
+            match = (ci == cj) & (ci != 0)
+            cost = np.where(match, 0, 1).astype(np.int32)
+            db = np.where(match, j, db).astype(np.int32)
+            dm[:, i + 1, j + 1] = np.minimum.reduce(
+                [
+                    dm[:, i, j] + cost,
+                    dm[:, i + 1, j] + 1,
+                    dm[:, i, j + 1] + 1,
+                    dm[bidx, k, l] + (i - k - 1) + 1 + (j - l - 1),
+                ]
+            )
+        da[bidx, ci] = i
+    return dm[bidx, la + 1, lb + 1].astype(np.int64)
+
+
+def make_damerau_levenshtein_udf():
+    """Arrow-batched true-DL distance UDF (int). No case folding — callers
+    decide (the oracle fixture compares raw part names on both engines);
+    NULLs score as empty strings, matching Spark's levenshtein-on-coalesce
+    convention used elsewhere in this module."""
+
+    @F.pandas_udf(T.IntegerType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            damerau_levenshtein_batch(
+                [(x or "") for x in a], [(y or "") for y in b]
+            )
+        ).astype("int32")
+
+    return _udf
+
+
+damerau_levenshtein_udf = make_damerau_levenshtein_udf()
+
+
 def _tokens(col):
     return F.array_distinct(
         F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda w: w != "")

@@ -166,3 +166,72 @@ def test_em_then_score_separates_planted_matches(spark):
         for r in scored.groupBy("gold").agg(F.avg("fs_score").alias("avg")).collect()
     }
     assert means[True] > means[False] + 1.0
+
+
+# ---- TF-adjusted scoring ----------------------------------------------------
+
+
+def _tf_fixture(spark):
+    from spacy_ann_linker_spark.cluster.fellegi_sunter import term_frequencies
+
+    # 10 records: surname "smith" x8 (tf .8), "zyzmund" x2 (tf .2)
+    recs = spark.createDataFrame(
+        [(i, "smith" if i < 8 else "zyzmund") for i in range(10)],
+        "rid int, surname string",
+    )
+    tf = term_frequencies(recs, "surname")
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "smith", "smith"),      # common agreement
+            (8, 9, "zyzmund", "zyzmund"),  # rare agreement
+            (1, 8, "smith", "zyzmund"),    # disagreement
+            (1, 9, None, "zyzmund"),       # missing
+            (2, 3, "nowhere", "nowhere"),  # agreement on value absent from corpus
+        ],
+        "id_a int, id_b int, surname_a string, surname_b string",
+    )
+    return tf, pairs
+
+
+def test_tf_adjusted_rare_agreement_beats_common(spark):
+    from spacy_ann_linker_spark.cluster.fellegi_sunter import fellegi_sunter_score_tf
+
+    tf, pairs = _tf_fixture(spark)
+    w = {"surname": (0.9, 0.1)}
+    got = {
+        (r["id_a"], r["id_b"]): r["fs_score"]
+        for r in fellegi_sunter_score_tf(pairs, w, {"surname": tf}).collect()
+    }
+    base_a = math.log2(0.9 / 0.1)
+    assert got[(1, 2)] == pytest.approx(base_a + math.log2(0.1 / 0.8))
+    assert got[(8, 9)] == pytest.approx(base_a + math.log2(0.1 / 0.2))
+    assert got[(8, 9)] > got[(1, 2)]  # rare value is stronger evidence
+    assert got[(1, 8)] == pytest.approx(math.log2(0.1 / 0.9))  # plain disagreement
+    assert got[(1, 9)] == 0.0  # missing field -> no evidence
+    assert got[(2, 3)] == pytest.approx(base_a)  # unknown value -> unadjusted
+
+
+def test_tf_adjusted_tf_weight_damping_and_broadcast_off(spark):
+    from spacy_ann_linker_spark.cluster.fellegi_sunter import fellegi_sunter_score_tf
+
+    tf, pairs = _tf_fixture(spark)
+    w = {"surname": (0.9, 0.1)}
+    half = {
+        (r["id_a"], r["id_b"]): r["fs_score"]
+        for r in fellegi_sunter_score_tf(pairs, w, {"surname": tf}, tf_weight=0.5).collect()
+    }
+    assert half[(1, 2)] == pytest.approx(math.log2(0.9 / 0.1) + 0.5 * math.log2(0.1 / 0.8))
+    on = fellegi_sunter_score_tf(pairs, w, {"surname": tf}).collect()
+    off = fellegi_sunter_score_tf(pairs, w, {"surname": tf}, broadcast_tf=False).collect()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert {key(r): r["fs_score"] for r in on} == {key(r): r["fs_score"] for r in off}
+
+
+def test_term_frequencies_sums_to_one_and_skips_nulls(spark):
+    from spacy_ann_linker_spark.cluster.fellegi_sunter import term_frequencies
+
+    recs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, None)], "rid int, v string"
+    )
+    got = {r["value"]: r["tf"] for r in term_frequencies(recs, "v").collect()}
+    assert got == {"a": pytest.approx(2 / 3), "b": pytest.approx(1 / 3)}

@@ -280,3 +280,83 @@ def test_soft_tfidf_no_close_tokens_scores_zero_and_keeps_row(spark):
         for r in soft_tfidf_pairs(rdf, pdf, theta=0.95).collect()
     }
     assert got == {(1, 2): 0.0, (1, 3): 0.0}
+
+
+# ---- damerau_levenshtein ----------------------------------------------------
+
+
+def test_damerau_levenshtein_matches_duckdb_on_ascii():
+    """Property: scalar true-DL == DuckDB damerau_levenshtein on ASCII
+    (DuckDB is byte-based; ASCII bytes == codepoints so they must agree)."""
+    import random
+
+    import duckdb
+
+    from spacy_ann_linker_spark.functions.stringsim import damerau_levenshtein
+
+    con = duckdb.connect()
+    rng = random.Random(99)
+    pairs = [
+        (
+            "".join(rng.choice("abcd") for _ in range(rng.randint(0, 12))),
+            "".join(rng.choice("abcd") for _ in range(rng.randint(0, 12))),
+        )
+        for _ in range(2000)
+    ] + [("ca", "abc"), ("ab", "ba"), ("", ""), ("a", ""), ("recieve", "receive")]
+    for a, b in pairs:
+        want = con.execute(
+            "select damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert damerau_levenshtein(a, b) == want, (a, b)
+    # the unrestricted-vs-OSA witness: OSA says 3, true DL says 2
+    assert damerau_levenshtein("ca", "abc") == 2
+    con.close()
+
+
+def test_damerau_levenshtein_batch_matches_scalar():
+    import random
+
+    import numpy as np
+
+    from spacy_ann_linker_spark.functions.stringsim import (
+        damerau_levenshtein,
+        damerau_levenshtein_batch,
+    )
+
+    rng = random.Random(7)
+    a = ["".join(rng.choice("abcdefg xyz") for _ in range(rng.randint(0, 40))) for _ in range(500)]
+    b = ["".join(rng.choice("abcdefg xyz") for _ in range(rng.randint(0, 40))) for _ in range(500)]
+    got = damerau_levenshtein_batch(a, b)
+    want = np.array([damerau_levenshtein(x, y) for x, y in zip(a, b)])
+    assert (got == want).all()
+    # empty batch
+    assert len(damerau_levenshtein_batch([], [])) == 0
+
+
+def test_damerau_levenshtein_codepoint_not_byte_semantics():
+    """We count CODEPOINT edits (Spark's levenshtein convention); DuckDB
+    counts UTF-8 BYTES ('ü' is 2 bytes there). The batch kernel's
+    non-latin-1 fallback must agree with the scalar, both saying 1."""
+    from spacy_ann_linker_spark.functions.stringsim import (
+        damerau_levenshtein,
+        damerau_levenshtein_batch,
+    )
+
+    assert damerau_levenshtein("übermut", "ubermut") == 1
+    assert list(damerau_levenshtein_batch(["übermut", "日本"], ["ubermut", "日木"])) == [1, 1]
+
+
+def test_damerau_udf_on_spark(spark):
+    from pyspark.sql import functions as F
+
+    from spacy_ann_linker_spark.functions.stringsim import damerau_levenshtein_udf
+
+    df = spark.createDataFrame(
+        [("ca", "abc"), ("recieve", "receive"), (None, "x"), ("", "")],
+        "a string, b string",
+    )
+    got = {
+        (r["a"], r["b"]): r["d"]
+        for r in df.select("a", "b", damerau_levenshtein_udf("a", "b").alias("d")).collect()
+    }
+    assert got == {("ca", "abc"): 2, ("recieve", "receive"): 1, (None, "x"): 1, ("", ""): 0}

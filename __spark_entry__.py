@@ -345,6 +345,21 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-granular dedup (extras/dedup.dedup_paragraphs): first
+    occurrence of each distinct paragraph survives, docs reassemble from
+    survivors. The corpus has no newlines, so both engines synthesize
+    paragraph breaks identically first (every ' table ' -> blank line);
+    whole-doc duplicates then shed ALL their paragraphs to the first copy
+    (clean_text = ''), shared boilerplate sheds per-paragraph."""
+    from spacy_ann_linker_spark.extras.dedup import dedup_paragraphs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", " table ", "\n\n").alias("text")
+    )
+    return dedup_paragraphs(docs, "doc_id", "text")
+
+
 def _q_dedup_jaccard(spark, sf_dir):
     from spacy_ann_linker_spark.extras.dedup import ngram_jaccard_pairs
 
@@ -1292,6 +1307,22 @@ def _q_set_similarity_join(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
 
 
+def _q_cosine_similarity_join(spark, sf_dir):
+    """Weighted (idf-cosine) AllPairs self-join (extras/dedup.
+    prefix_filter_cosine_pairs) on the same first-6-word head fixture as
+    set_similarity_join, t=0.6 — L2-prefix filtering with exact recall;
+    the oracle IS the brute-force token join, so the no-false-negative
+    guarantee is gate-checked end-to-end."""
+    from spacy_ann_linker_spark.extras.dedup import prefix_filter_cosine_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 6), " ").alias("head"),
+    )
+    out = prefix_filter_cosine_pairs(docs, "doc_id", "head", threshold=0.6)
+    return out.select("id_a", "id_b", F.round("cosine", R).alias("cosine"))
+
+
 def _q_soft_tfidf_sim(spark, sf_dir):
     """Soft TF-IDF (functions/stringsim.py) on the consecutive part-name
     pairs, corpus = the whole part table: fuzzy (JW>0.9) token matches
@@ -1353,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_branch_union": _q_u1_branch_union,
         "t2_topk_per_group": _q_t2_topk_per_group,
         "dedup_exact": _q_dedup_exact,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "golden_records": _q_golden_records,
@@ -1399,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_block_wep": _q_meta_block_wep,
         "meta_block_cnp": _q_meta_block_cnp,
         "set_similarity_join": _q_set_similarity_join,
+        "cosine_similarity_join": _q_cosine_similarity_join,
         "asof_attribution": _q_asof_attribution,
         "interval_join_windows": _q_interval_join,
         "monge_elkan_sim": _q_monge_elkan_sim,
@@ -1915,6 +1948,40 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
           FROM documents
         ) GROUP BY norm
+        """,
+        "dedup_paragraphs": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_replace(text, ' table ', chr(10) || chr(10), 'g') AS text
+          FROM documents
+        ),
+        sp AS (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS ps FROM d),
+        paras AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, array_length(ps))) AS idx,
+                 unnest(ps) AS p
+          FROM sp
+        ),
+        pf AS (SELECT doc_id, idx, p, md5(p) AS k FROM paras WHERE p <> ''),
+        ranked AS (
+          SELECT doc_id, idx, p,
+                 row_number() OVER (PARTITION BY k ORDER BY doc_id, idx) AS rn
+          FROM pf
+        ),
+        reasm AS (
+          SELECT doc_id,
+                 string_agg(p, chr(10) || chr(10) ORDER BY idx) AS clean_text,
+                 count(*) AS n_kept
+          FROM ranked WHERE rn = 1 GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_paras FROM pf GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(r.clean_text, '') AS clean_text,
+               coalesce(t.n_paras, 0) AS n_paras,
+               coalesce(r.n_kept, 0) AS n_kept
+        FROM d
+        LEFT JOIN tot t ON t.doc_id = d.doc_id
+        LEFT JOIN reasm r ON r.doc_id = d.doc_id
         """,
         "dedup_ngram_jaccard": r"""
         WITH norm AS (
@@ -2784,6 +2851,35 @@ def oracle_sql() -> dict[str, str]:
         FROM nz a JOIN nz b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.toks, b.toks)) * 1.0
               / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        """,
+        "cosine_similarity_join": r"""
+        WITH h AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')
+                   AS head
+          FROM documents
+        ), t AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(regexp_split_to_array(
+                   lower(head), '[^a-z0-9]+'), w -> w <> '')) AS toks
+          FROM h
+        ), nz AS (SELECT * FROM t WHERE len(toks) > 0),
+        nn AS (SELECT count(*) AS n FROM nz),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM nz),
+        d AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+        raw AS (
+          SELECT doc_id, tok, ln(1 + nn.n * 1.0 / d.df) AS w
+          FROM tok JOIN d USING (tok) CROSS JOIN nn
+        ),
+        nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM raw GROUP BY doc_id),
+        wt AS (SELECT doc_id, tok, w / nrm AS w FROM raw JOIN nrm USING (doc_id)),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS cosine
+          FROM wt a JOIN wt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(cosine, 6) AS cosine
+        FROM pairs WHERE cosine >= 0.6
         """,
         "monge_elkan_sim": r"""
         WITH a AS (

@@ -242,6 +242,12 @@ def run_bench(cpus: int) -> dict:
         "monge_elkan_sim",
         "asof_attribution",
         "interval_join_windows",
+        "soft_tfidf_sim",
+        "dl_similarity",
+        "fs_tf_adjusted",
+        "cascade_link",
+        "dedup_paragraphs",
+        "cosine_similarity_join",
     ]:
         t0 = time.perf_counter()
         _noop(queries[name](spark, SF_DIR))

@@ -577,3 +577,184 @@ def winnow_fingerprints(
         # distinct here would re-shuffle the whole fingerprint output
         .select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """(id, clean_text, n_paras, n_kept): paragraph-granular exact dedup —
+    the Dolma/RefinedWeb recipe where boilerplate (headers, footers, cookie
+    banners) repeats ACROSS documents that are not duplicates as wholes.
+    Documents split on `sep`; each distinct paragraph survives only at its
+    first occurrence (global (id, position) order), every later copy is
+    dropped — including repeats inside one document; surviving paragraphs
+    reassemble in original order with `joiner`. Docs whose every paragraph
+    was seen earlier come back with clean_text = '' (row kept, so the
+    caller can gate on n_kept).
+
+    Scale shape: explode -> one map-side-combined groupBy(md5) taking
+    min(struct(id, idx)) as the winner -> hash-join back (same key) ->
+    one groupBy(id) to reassemble. Two shuffles total, both linear in
+    paragraph count; no windows, no driver loops. The md5 key keeps the
+    shuffle rows narrow (paragraph text never rides the winner agg).
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_p"),
+        )
+        .filter(F.col("_p") != "")
+        .withColumn("_k", F.md5(F.col("_p")))
+    )
+    winners = paras.groupBy("_k").agg(
+        F.min(F.struct(F.col(id_col), F.col("_idx"))).alias("_w")
+    )
+    kept = paras.join(winners, "_k").filter(
+        (F.col(id_col) == F.col(f"_w.{id_col}")) & (F.col("_idx") == F.col("_w._idx"))
+    )
+    reasm = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_p"))),
+                lambda s: s["_p"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(reasm, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def prefix_filter_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT idf-weighted cosine self-join via L2 prefix filtering — the
+    weighted companion of prefix_filter_jaccard_pairs (AllPairs, Bayardo
+    et al. WWW'07, cosine case). Vectors: DISTINCT lowercase word tokens,
+    idf = ln(1 + N/df), L2-normalized per record (the soft-TFIDF / TF-IDF
+    weighting discipline), so cos(A,A) = 1.
+
+    Guarantee: order each record's tokens rare-first (df asc — the
+    HIGHEST-weight tokens first) and take the shortest prefix whose
+    remaining suffix has L2 norm < t. If a pair shares no token in either
+    prefix, every shared token lies in both suffixes, so
+    cos = sum(wa*wb) <= ||A_suf||*||B_suf|| < t^2 <= t — therefore the
+    prefix-prefix equi-join misses nothing (brute-force parity is
+    property-tested). Prefixes hold the RAREST tokens, so posting lists in
+    the candidate join are the short ones — same cost concentration as the
+    Jaccard variant, never all-pairs.
+
+    Float guard (the AllPairs epsilon discipline): the prefix grows while
+    suffix_norm^2 >= t^2 - 1e-9, so IEEE noise can only LENGTHEN a prefix
+    — errors fall on the safe slope. The in-row cumulative-sumsq uses
+    aggregate-over-slice (O(k^2) per record in its distinct-token count k
+    — fine for names/titles/docs up to a few hundred distinct tokens).
+
+    Verification folds the exact dot product in-row: candidates re-join
+    the (token -> weight) maps and fold array_intersect with element_at —
+    pair-sized rows, pure JVM. -> (id_a, id_b, cosine), cosine >=
+    threshold, id_a < id_b. Empty-token records are excluded."""
+    t2 = threshold * threshold
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda w: w != "",
+                )
+            )
+        ).alias("tok"),
+    )
+    n_docs = toks.select(F.countDistinct("doc_id").alias("_n"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "_df",
+            F.log(1.0 + F.col("_n") / F.col("_df")).alias("_w"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("tok"), F.col("_w")))
+            ).alias("_r")
+        )
+        .select(
+            "doc_id",
+            F.transform("_r", lambda s: s["tok"]).alias("toks"),
+            F.transform("_r", lambda s: s["_w"]).alias("_ws"),
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate("_ws", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    vecs = ranked.select(
+        "doc_id",
+        "toks",
+        F.transform("_ws", lambda x: x / norm).alias("wn"),
+    ).withColumn("sz", F.size("toks"))
+    # prefix p: count positions i where the suffix AFTER i is still >= t
+    # (then one more token is needed); capped at sz
+    cum_i = lambda i: F.aggregate(
+        F.slice("wn", F.lit(1), i), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    need = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.col("sz")),
+            lambda i: F.lit(1.0) - cum_i(i) >= F.lit(t2) - F.lit(1e-9),
+        )
+    )
+    pre = vecs.withColumn(
+        "_p", F.least(F.col("sz"), need + F.lit(1))
+    ).select("doc_id", F.explode(F.slice("toks", F.lit(1), F.col("_p"))).alias("ptok"))
+    a = pre.select(F.col("doc_id").alias("id_a"), "ptok")
+    b = pre.select(F.col("doc_id").alias("id_b"), "ptok")
+    cands = (
+        a.join(b, "ptok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    side = vecs.select(
+        "doc_id", "toks", F.map_from_arrays("toks", "wn").alias("wm")
+    )
+    va = side.select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("_ta"), F.col("wm").alias("_ma")
+    )
+    vb = side.select(
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("_tb"), F.col("wm").alias("_mb")
+    )
+    dot = F.aggregate(
+        F.array_intersect("_ta", "_tb"),
+        F.lit(0.0),
+        lambda acc, tok: acc + F.element_at("_ma", tok) * F.element_at("_mb", tok),
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", dot)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -248,3 +248,83 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(["_dk"])
         .drop("_dk")
     )
+
+
+def neardup_stream(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection — the stream form of
+    extras/dedup.minhash_lsh_pairs. Emits one row per (doc, band):
+    (doc_id, band, bucket, owner_id) where owner_id is the FIRST document
+    (earliest micro-batch; min doc_id inside a batch) that claimed the
+    band bucket. A doc with owner_id != doc_id on ANY band is an LSH
+    near-dup candidate of that owner — the per-doc fold happens
+    downstream (foreachBatch or a batch query over the sink) because
+    chaining a second stateful aggregation after applyInPandasWithState
+    in append mode is a Structured Streaming limitation.
+
+    The signature is computed IN-ROW (array_min over the in-row gram
+    array per seed — a pure projection, so the only stateful stage is the
+    bucket ownership), which is what makes this a ONE-stateful-operator
+    topology; the batch path's groupBy-of-exploded-grams shape
+    (dedup._minhash_wide) produces identical minhashes (same grams, same
+    _h60), pinned by the stream-vs-batch parity test. State: one
+    (band, bucket) key per distinct bucket seen — grows with corpus
+    vocabulary, not stream length; TTL eviction (GroupStateTimeout) is
+    the knob when corpus-lifetime memory exceeds the cluster. Docs too
+    short to produce a gram emit nothing (no bucket to claim)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from spacy_ann_linker_spark.extras.dedup import _h60, char_ngrams_col
+
+    r = num_hashes // bands
+    grams = char_ngrams_col(F.col(text_col), n)
+    sigs = [
+        F.array_min(F.transform(grams, lambda g: _h60(F.concat_ws(":", F.lit(s), g))))
+        for s in range(num_hashes)
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[sigs[b * r + i] for i in range(r)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    keyed = (
+        stream.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array(*band_structs)).alias("_bb"),
+        )
+        .select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+    )
+
+    out_schema = "doc_id long, band int, bucket long, owner_id long"
+    state_schema = "owner long"
+
+    def claim(key, pdfs, state: GroupState):
+        band, bucket = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            (owner,) = state.get
+        else:
+            owner = int(batch["doc_id"].min())
+            state.update((owner,))
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "band": band,
+                "bucket": bucket,
+                "owner_id": owner,
+            }
+        )
+
+    return keyed.groupBy("band", "bucket").applyInPandasWithState(
+        claim, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

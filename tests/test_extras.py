@@ -839,3 +839,136 @@ def test_prefix_filter_jaccard_hand_case_and_boundary(spark):
     assert got.keys() == {(1, 2), (1, 3), (2, 3)}
     assert got[(1, 2)] == pytest.approx(0.6)
     assert got[(1, 3)] == pytest.approx(0.5)  # >= keeps the exact boundary
+
+
+# ---- dedup_paragraphs -------------------------------------------------------
+
+
+def test_dedup_paragraphs_first_occurrence_wins_and_reassembles(spark):
+    from spacy_ann_linker_spark.extras.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one\n\nshared footer"),
+            (2, "intro two\n\nshared footer\n\nextra"),
+            (3, "shared footer"),            # everything already seen
+            (4, "dup para\n\ndup para"),     # in-doc repeat: keep first only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert got[1]["clean_text"] == "intro one\n\nshared footer"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (2, 2)
+    # doc 2 loses the footer (seen in doc 1) but keeps order of survivors
+    assert got[2]["clean_text"] == "intro two\n\nextra"
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (3, 2)
+    # doc 3 fully deduplicated away but the row survives
+    assert got[3]["clean_text"] == ""
+    assert (got[3]["n_paras"], got[3]["n_kept"]) == (1, 0)
+    # in-document repeat collapses to the first copy
+    assert got[4]["clean_text"] == "dup para"
+    assert (got[4]["n_paras"], got[4]["n_kept"]) == (2, 1)
+
+
+def test_dedup_paragraphs_partition_invariant(spark):
+    """The winner rule is min(struct(id, idx)) — a pure function of the
+    data, so repartitioning must not change any output row."""
+    from spacy_ann_linker_spark.extras.dedup import dedup_paragraphs
+
+    rows = [(i, f"common head\n\nbody {i % 5}\n\ntail {i % 3}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dedup_paragraphs(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, dedup_paragraphs(docs.repartition(16)).collect()))
+    assert a == b
+    # exactly one global copy of every distinct paragraph survives
+    total_kept = sum(r[3] for r in a)
+    assert total_kept == 1 + 5 + 3
+
+
+def test_dedup_paragraphs_empty_segments_skipped(spark):
+    from spacy_ann_linker_spark.extras.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "\n\nonly para\n\n"), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert got[1]["clean_text"] == "only para"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (1, 1)
+    assert got[2]["clean_text"] == ""
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (0, 0)
+
+
+# ---- prefix_filter_cosine_pairs ---------------------------------------------
+
+
+def _cosine_brute(recs, threshold):
+    import itertools
+    import math
+    import re
+    from collections import Counter
+
+    toks = {
+        i: sorted(set(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w))
+        for i, t in recs
+    }
+    n = len([i for i in toks if toks[i]])
+    dfc = Counter(t for ts in toks.values() for t in ts)
+    w = {}
+    for i, ts in toks.items():
+        raw = {t: math.log(1 + n / dfc[t]) for t in ts}
+        nm = math.sqrt(sum(v * v for v in raw.values()))
+        w[i] = {t: v / nm for t, v in raw.items()} if nm else {}
+    out = {}
+    for a, b in itertools.combinations(sorted(toks), 2):
+        c = sum(w[a][t] * w[b].get(t, 0.0) for t in w[a])
+        if c >= threshold:
+            out[(a, b)] = c
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.6, 0.9])
+def test_cosine_allpairs_matches_brute_force(spark, threshold):
+    """Exact recall at several thresholds: the L2-prefix filter must find
+    EVERY pair the all-pairs scan finds, with identical cosines."""
+    import random
+
+    from spacy_ann_linker_spark.extras.dedup import prefix_filter_cosine_pairs
+
+    rng = random.Random(31)
+    words = ["acme", "steel", "works", "global", "inc", "corp", "east",
+             "west", "mill", "iron", "trade", "co", "ltd", "north"]
+    recs = [(i, " ".join(rng.sample(words, rng.randint(2, 6)))) for i in range(70)]
+    df = spark.createDataFrame(recs, "id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in prefix_filter_cosine_pairs(df, "id", "text", threshold).collect()
+    }
+    want = _cosine_brute(recs, threshold)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_cosine_allpairs_identical_records_score_one(spark):
+    from spacy_ann_linker_spark.extras.dedup import prefix_filter_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "unrelated words here")],
+        "id int, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in prefix_filter_cosine_pairs(df, "id", "text", 0.99).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == pytest.approx(1.0)
+
+
+def test_cosine_allpairs_empty_token_records_excluded(spark):
+    from spacy_ann_linker_spark.extras.dedup import prefix_filter_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "???"), (2, "alpha beta"), (3, "alpha beta")], "id int, text string"
+    )
+    got = prefix_filter_cosine_pairs(df, "id", "text", 0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(2, 3)}

@@ -275,3 +275,74 @@ def test_dedup_stream_matches_batch_key_set(spark, tmp_path):
     }
     assert {tuple(k) for k in got_keys} == want_keys
     assert set(got[0].asDict()) == {"doc_id", "text", "ts"}
+
+
+def test_neardup_stream_matches_batch_lsh_ownership(spark, tmp_path):
+    """Streaming LSH near-dup ownership must agree with the batch band
+    keys: with files arriving in doc_id order, each bucket's owner is the
+    globally smallest doc_id, so the set of flagged docs (owner != self on
+    some band) equals the batch 'shares a bucket with an earlier doc'
+    set, and buckets must be IDENTICAL to dedup.minhash_band_keys."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spacy_ann_linker_spark.extras.dedup import minhash_band_keys
+    from spacy_ann_linker_spark.streaming.link_stream import neardup_stream
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog!",  # near-dup of 0
+        "completely different content about spark plans",
+        "the quick brown fox jumps over a lazy dog",     # near-dup-ish
+        "another unrelated document body entirely",
+        "completely different content about spark plans",  # exact dup of 2
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = str(tmp_path / "neardup_src")
+    os.makedirs(src)
+    # one file per pair of docs, written in doc order -> arrival order
+    for chunk in range(3):
+        spark.createDataFrame(rows[chunk * 2 : chunk * 2 + 2], "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = neardup_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from neardup_t").collect()
+
+    bk = minhash_band_keys(batch_df, "doc_id", "text")
+    want_buckets = {
+        (r["doc_id"], r["band"], r["bucket"]) for r in bk.collect()
+    }
+    assert {(r["doc_id"], r["band"], r["bucket"]) for r in got} == want_buckets
+
+    owners = {
+        (r["band"], r["bucket"]): r["min_owner"]
+        for r in bk.groupBy("band", "bucket").agg(F.min("doc_id").alias("min_owner")).collect()
+    }
+    # in-order arrival -> streamed owner equals the global min owner
+    for r in got:
+        assert r["owner_id"] == owners[(r["band"], r["bucket"])], r
+    flagged = {r["doc_id"] for r in got if r["owner_id"] != r["doc_id"]}
+    want_flagged = {
+        d for (d, band, bucket) in want_buckets if owners[(band, bucket)] != d
+    }
+    assert flagged == want_flagged
+    assert 5 in flagged  # exact dup must be flagged
+    assert 1 in flagged  # near-dup shares at least one band

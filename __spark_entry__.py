@@ -849,6 +849,78 @@ def _q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "item_id", F.round("cosine", R).alias("cosine"), "rank")
 
 
+def _q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (extras/similarity_search.py):
+    seeded per-subspace codebooks (m=4, k=8), in-row L2 encode (codes are
+    4 ints — the 16x vector compression the 10^10-row side ships instead
+    of embeddings), per-query LUT so each pair costs O(m) lookups. Fully
+    deterministic, so it joins the strict gate like ann_ivf_topk; ties on
+    identical codes break by item_id in both engines."""
+    from spacy_ann_linker_spark.extras.similarity_search import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    cb = fit_pq_codebooks(emb, m=4, k=8)
+    enc = pq_encode(emb, cb, m=4, k=8)
+    out = pq_topk(emb.filter(F.col("vec_id") < 10), enc, cb, 3, 4, 8)
+    return out.select("query_id", "item_id", F.round("score", R).alias("score"), "rank")
+
+
+def _pq_oracle_sql() -> str:
+    """PQ oracle: codebook = subvectors of the 8 smallest vec_ids, encode
+    by per-subspace L2 argmin (elementwise in-order sum, mirroring the
+    engine's zip_with fold), score = the four subspace dots summed left to
+    right (any_value pivot keeps the addition order deterministic)."""
+    m, k, dsub = 4, 8, 16
+    l2 = (
+        lambda sub: f"list_sum(list_transform(generate_series(1, {dsub}), "
+        f"i -> (e.v[{sub} * {dsub} + i] - cb.w[i]) * (e.v[{sub} * {dsub} + i] - cb.w[i])))"
+    )
+    dots = " + ".join(
+        f"list_dot_product(q.v[{s * dsub + 1}:{(s + 1) * dsub}], ew.w{s})"
+        for s in range(m)
+    )
+    pivots = ", ".join(
+        f"any_value(CASE WHEN sub = {s} THEN w END) AS w{s}" for s in range(m)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cbase AS (SELECT vec_id AS sid, v FROM e ORDER BY vec_id ASC LIMIT {k}),
+        cb AS (
+          SELECT s.sub,
+                 row_number() OVER (PARTITION BY s.sub ORDER BY c.sid) - 1 AS code,
+                 c.v[s.sub * {dsub} + 1 : (s.sub + 1) * {dsub}] AS w
+          FROM cbase c, (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+        ),
+        enc AS (
+          SELECT item_id, sub, code FROM (
+            SELECT e.vec_id AS item_id, cb.sub, cb.code,
+                   row_number() OVER (PARTITION BY e.vec_id, cb.sub
+                     ORDER BY {l2("cb.sub")} ASC, cb.code ASC) AS rn
+            FROM e, cb
+          ) WHERE rn = 1
+        ),
+        ew AS (
+          SELECT item_id, {pivots}
+          FROM enc JOIN cb USING (sub, code) GROUP BY item_id
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, ew.item_id, {dots} AS score
+          FROM e q, ew
+          WHERE q.vec_id < 10 AND ew.item_id <> q.vec_id
+        )
+        SELECT query_id, item_id, round(score, 6) AS score, rank FROM (
+          SELECT query_id, item_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, item_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+        """
+
+
 def _q_multimodal(spark, sf_dir):
     """Fake decode over the SAME parquet payload bytes the oracle reads
     (synthesize_media produces identical rows — asserted in tests); every
@@ -1421,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "dedup_simhash_lsh": _q_simhash_lsh,
         "ann_ivf_topk": _q_ivf_topk,
+        "ann_pq_topk": _q_pq_topk,
         "bm25_score": _q_bm25_score,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample_docs": _q_weighted_sample,
@@ -1441,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fellegi_sunter_score": _q_fellegi_sunter_score,
         "fs_tf_adjusted": _q_fs_tf_adjusted,
         "cascade_link": _q_cascade_link,
+        "threshold_sweep": _q_threshold_sweep,
         "multimodal_decode": _q_multimodal,
     }
 
@@ -1527,6 +1601,103 @@ def _q_fs_tf_adjusted(spark, sf_dir):
     }
     out = fellegi_sunter_score_tf(pairs, _FS_TF_MU, tfs)
     return out.select("id_a", "id_b", F.round("fs_score", R).alias("fs_tf_score"))
+
+
+def _q_threshold_sweep(spark, sf_dir):
+    """Threshold sweep over Fellegi-Sunter scores (evaluate.
+    threshold_sweep_metrics): P/R/F1 at every distinct score as cutoff in
+    ONE pass — the pair table collapses to per-score counts before the
+    global cumulative window, so the single-partition window sees
+    (distinct scores) rows, not pairs. Label = nation agreement; same
+    consecutive-customer fixture as fellegi_sunter_score."""
+    from spacy_ann_linker_spark.cluster.fellegi_sunter import fellegi_sunter_score
+    from spacy_ann_linker_spark.evaluate import threshold_sweep_metrics
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = cust.filter(F.col("c_custkey") <= 500).select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bb_a"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") - 1).alias("id_a"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bb_b"),
+    )
+    pairs = a.join(b, "id_a").select(
+        (F.col("seg_a") == F.col("seg_b")).cast("int").alias("agree_segment"),
+        (F.col("nat_a") == F.col("nat_b")).cast("int").alias("agree_nation"),
+        (F.col("bb_a") == F.col("bb_b")).cast("int").alias("agree_balband"),
+    )
+    scored = fellegi_sunter_score(pairs, _FS_MU)
+    sweep = threshold_sweep_metrics(
+        scored, score_col="fs_score", label_col="agree_nation", round_scores=6
+    )
+    return sweep.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round("precision", R).alias("precision"),
+        F.round("recall", R).alias("recall"),
+        F.round("f1", R).alias("f1"),
+    )
+
+
+def _sweep_oracle_sql() -> str:
+    """Threshold-sweep oracle: replay the FS literal weights, collapse to
+    per-score counts, same descending cumulative window."""
+    import math
+
+    w = {
+        f: (repr(math.log2(m / u)), repr(math.log2((1.0 - m) / (1.0 - u))))
+        for f, (m, u) in _FS_MU.items()
+    }
+    seg_a, seg_d = w["agree_segment"]
+    nat_a, nat_d = w["agree_nation"]
+    bb_a, bb_d = w["agree_balband"]
+    return f"""
+        WITH pr AS (
+          SELECT round(
+                 (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                       THEN {seg_a} ELSE {seg_d} END)
+               + (CASE WHEN a.c_nationkey = b.c_nationkey
+                       THEN {nat_a} ELSE {nat_d} END)
+               + (CASE WHEN floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+                       THEN {bb_a} ELSE {bb_d} END), 6) AS threshold,
+                 CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END AS y
+          FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+          WHERE a.c_custkey <= 500
+        ),
+        per AS (
+          SELECT threshold, count(*) AS n, sum(y) AS pos
+          FROM pr GROUP BY threshold
+        ),
+        cum AS (
+          SELECT threshold,
+                 sum(pos) OVER (ORDER BY threshold DESC
+                                ROWS UNBOUNDED PRECEDING) AS tp,
+                 sum(n) OVER (ORDER BY threshold DESC
+                              ROWS UNBOUNDED PRECEDING)
+                 - sum(pos) OVER (ORDER BY threshold DESC
+                                  ROWS UNBOUNDED PRECEDING) AS fp,
+                 (SELECT sum(pos) FROM per) AS tot_pos
+          FROM per
+        )
+        SELECT threshold, tp, fp, (tot_pos - tp) AS fn,
+               round(tp * 1.0 / greatest(tp + fp, 1), 6) AS precision,
+               round(tp * 1.0 / greatest(tot_pos, 1), 6) AS recall,
+               round(CASE WHEN tp * 1.0 / greatest(tp + fp, 1)
+                             + tp * 1.0 / greatest(tot_pos, 1) > 0
+                     THEN 2 * (tp * 1.0 / greatest(tp + fp, 1))
+                            * (tp * 1.0 / greatest(tot_pos, 1))
+                          / (tp * 1.0 / greatest(tp + fp, 1)
+                             + tp * 1.0 / greatest(tot_pos, 1))
+                     ELSE 0.0 END, 6) AS f1
+        FROM cum
+        """
 
 
 def _fs_tf_oracle_sql() -> str:
@@ -2494,6 +2665,7 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(*) AS n, round(sum(value), 6) AS total
         FROM events GROUP BY 1, 2
         """,
+        "ann_pq_topk": _pq_oracle_sql(),
         "ann_ivf_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 16),
@@ -3047,6 +3219,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fellegi_sunter_score": _fs_oracle_sql(),
         "fs_tf_adjusted": _fs_tf_oracle_sql(),
+        "threshold_sweep": _sweep_oracle_sql(),
         "cascade_link": """
         WITH l AS (
           SELECT c_custkey AS id_a,

@@ -348,3 +348,63 @@ def blocking_quality(
         pc.alias("pairs_completeness"),
         pq.alias("pairs_quality"),
     )
+
+
+def threshold_sweep_metrics(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_match",
+    round_scores: int | None = None,
+) -> DataFrame:
+    """(threshold, tp, fp, fn, precision, recall, f1): classifier metrics
+    at EVERY distinct score treated as the decision threshold
+    (predict match iff score >= threshold) — the calibration sweep that
+    picks the Fellegi-Sunter / cosine cutoff, computed in one pass
+    instead of re-scanning pairs per candidate threshold.
+
+    Scale shape: one map-side-combined groupBy(score) collapses the pair
+    table to (distinct scores) rows — the window that then takes the
+    descending cumulative TP/FP runs over THAT collapsed table, so the
+    single-partition window Spark needs for a global running sum touches
+    thousands of rows, not 10^10 pairs (`round_scores` caps the distinct
+    count when scores are continuous). total positives for recall ride a
+    one-row broadcast. NULL labels are rejected by contract (cast to
+    int fails closed in the agg); NULL scores are dropped (no threshold
+    can select them).
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col)
+    if round_scores is not None:
+        s = F.round(s, round_scores)
+    per_score = (
+        scored.filter(F.col(score_col).isNotNull())
+        .select(s.alias("threshold"), F.col(label_col).cast("int").alias("_y"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_y").alias("_pos"),
+        )
+    )
+    totals = per_score.select(
+        F.sum("_pos").alias("_tot_pos"), F.sum("_n").alias("_tot")
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.select(
+        "threshold",
+        F.sum("_pos").over(w).alias("tp"),
+        (F.sum("_n").over(w) - F.sum("_pos").over(w)).alias("fp"),
+    ).crossJoin(F.broadcast(totals))
+    p = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    r = F.col("tp") / F.greatest(F.col("_tot_pos"), F.lit(1))
+    return cum.select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("_tot_pos") - F.col("tp")).alias("fn"),
+        p.alias("precision"),
+        r.alias("recall"),
+        F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)).alias("f1"),
+    )

@@ -397,3 +397,211 @@ def ivf_topk(
     One-shot convenience over build_ivf_index + ivf_topk_indexed."""
     index = build_ivf_index(items, n_centroids, id_col, vec_col)
     return ivf_topk_indexed(index, queries, nprobe=nprobe, k=k, id_col=id_col)
+
+
+# ---- Product Quantization (Jégou, Douze & Schmid, TPAMI 2011) ---------------
+
+
+def fit_pq_codebooks(
+    items: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "seeded",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """(sub, code, codeword): per-subspace PQ codebooks. The vector splits
+    into `m` contiguous subvectors; each subspace gets `k` codewords.
+
+    method='seeded' (default, the ORACLE path like seeded_centroids): the
+    codewords of every subspace are the subvectors of the k smallest-id
+    items — deterministic, distribution-blind. method='kmeans' fits one
+    KMeans|| per subspace (m driver-looped fits over narrow subvector
+    projections; quality option, seeded for reproducibility)."""
+    dsub = F.floor(F.size(vec_col) / m).cast("int")
+    if method == "seeded":
+        base = items.orderBy(id_col).limit(k).select(
+            F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"), dsub.alias("_d")
+        )
+        subs = base.select(
+            "_sid",
+            "_d",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            "_v",
+        ).select(
+            "sub",
+            "_sid",
+            F.slice("_v", F.col("sub") * F.col("_d") + 1, F.col("_d")).alias("codeword"),
+        )
+        w = Window.partitionBy("sub").orderBy("_sid")
+        return subs.select(
+            "sub", (F.row_number().over(w) - 1).alias("code"), "codeword"
+        )
+    if method == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        dim = len(items.select(vec_col).head()[0])
+        out = None
+        for sub in range(m):
+            sv = items.select(
+                array_to_vector(
+                    F.slice(vec_col, sub * (dim // m) + 1, dim // m).cast(
+                        "array<double>"
+                    )
+                ).alias("features")
+            )
+            km = KMeans(k=k, seed=seed, maxIter=max_iter, initMode="k-means||")
+            centers = km.fit(sv).clusterCenters()
+            rows = [(sub, i, [float(x) for x in c]) for i, c in enumerate(centers)]
+            piece = items.sparkSession.createDataFrame(
+                rows, "sub int, code int, codeword array<double>"
+            )
+            out = piece if out is None else out.unionByName(piece)
+        return out
+    raise ValueError(f"unknown method {method!r}")
+
+
+def _codebook_array(codebooks: DataFrame) -> DataFrame:
+    """One broadcast row: array<struct(sub, code, w)> sorted by (sub, code)
+    — flat index sub*k + code. Same single-row-array discipline as
+    _centroid_array."""
+    return codebooks.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("sub"), F.col("code"), F.col("codeword").alias("w")
+                )
+            )
+        ).alias("_cb")
+    )
+
+
+def pq_encode(
+    items: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): PQ encoding — per subspace, the L2-nearest codeword id
+    (ties -> smallest code). Codes are m small ints per vector: the
+    10^10-vector table stores/shuffles m*4 bytes instead of d*4 — the PQ
+    memory story IS the scale story (a 64-dim float vector compresses
+    16x at m=4).
+
+    Pure projection over the broadcast codebook row (the ivf_assign
+    discipline): no window, no aggregate over item rows, no Exchange —
+    each row folds its own argmin per subspace in-place."""
+    dsub = F.floor(F.size(vec_col) / m).cast("int")
+
+    def code_for(sub):
+        sl = F.slice(F.col("_v"), sub * F.col("_d") + 1, F.col("_d"))
+
+        def step(acc, ce):
+            dist = F.aggregate(
+                F.zip_with(sl, ce["w"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            better = dist < acc["bd"]
+            return F.struct(
+                F.when(better, dist).otherwise(acc["bd"]).alias("bd"),
+                F.when(better, ce["code"]).otherwise(acc["code"]).alias("code"),
+            )
+
+        init = F.struct(
+            F.lit(float("inf")).alias("bd"), F.lit(-1).alias("code")
+        )
+        block = F.slice(F.col("_cb"), sub * F.lit(k) + 1, F.lit(k))
+        return F.aggregate(block, init, step)["code"]
+
+    return (
+        items.select(
+            F.col(id_col).alias("item_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            dsub.alias("_d"),
+        )
+        .crossJoin(F.broadcast(_codebook_array(codebooks)))
+        .select(
+            "item_id",
+            F.array(*[code_for(F.lit(s)) for s in range(m)]).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    k_neighbors: int = 3,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(query_id, item_id, score, rank): asymmetric-distance (ADC) top-k by
+    approximate INNER PRODUCT — score = sum_m dot(q_sub_m, codeword of the
+    item's code_m). Queries precompute an m*k lookup table ONCE (one
+    O(k*d) projection per query row), then every (item, query) pair costs
+    O(m) table lookups instead of the O(d) exact dot — with m=4 on 64-dim
+    vectors that is 16x less pair work, and the item side ships CODES, not
+    vectors.
+
+    Contract: `queries` must be broadcast-small (they collapse to a
+    single-row array carrying their LUTs — the cosine_topk
+    broadcast-queries contract); `encoded` is the unbounded side and never
+    shuffles. Approximation error comes from quantization only; exactness
+    vs brute force is property-tested at k = n_items (codebook covers
+    every vector)."""
+    dsub = F.floor(F.size(vec_col) / m).cast("int")
+    lut_entry = lambda j: F.aggregate(
+        F.zip_with(
+            F.slice(
+                F.col("_qv"), F.floor(j / k).cast("int") * F.col("_d") + 1, F.col("_d")
+            ),
+            F.element_at(F.col("_cb"), j + 1)["w"],
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    q_lut = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+            dsub.alias("_d"),
+        )
+        .crossJoin(F.broadcast(_codebook_array(codebooks)))
+        .select(
+            "q_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m * k - 1)), lambda j: lut_entry(j)
+            ).alias("lut"),
+        )
+    )
+    qarr = q_lut.agg(
+        F.array_sort(F.collect_list(F.struct("q_id", "lut"))).alias("_qs")
+    )
+    pairs = encoded.crossJoin(F.broadcast(qarr)).select(
+        "item_id", "codes", F.explode("_qs").alias("_q")
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, sub: acc
+        + F.element_at(
+            F.col("_q")["lut"], sub * F.lit(k) + F.element_at(F.col("codes"), sub + 1) + 1
+        ),
+    )
+    scored = pairs.select(
+        F.col("_q")["q_id"].alias("q_id"), "item_id", score.alias("cosine")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("q_id") != F.col("item_id"))
+    out = _topk_per_query(scored, k_neighbors)
+    return out.select("query_id", "item_id", F.col("cosine").alias("score"), "rank")

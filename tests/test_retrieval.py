@@ -397,3 +397,57 @@ def test_agreement_degenerate_conventions(spark):
     assert (r["n_items"], r["ari"], r["homogeneity"], r["completeness"], r["v_measure"]) == (
         0, 1.0, 1.0, 1.0, 1.0,
     )
+
+
+# ---- threshold_sweep_metrics ------------------------------------------------
+
+
+def test_threshold_sweep_hand_computed(spark):
+    from spacy_ann_linker_spark.evaluate import threshold_sweep_metrics
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.9, 0), (0.7, 1), (0.5, 0), (0.3, 1), (None, 1)],
+        "score double, is_match int",
+    )
+    got = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"], r["precision"], r["recall"])
+        for r in threshold_sweep_metrics(df).collect()
+    }
+    # NULL score dropped entirely (also from the positives total)
+    assert set(got) == {0.9, 0.7, 0.5, 0.3}
+    assert got[0.9] == (1, 1, 2, 0.5, pytest.approx(1 / 3))
+    assert got[0.7] == (2, 1, 1, pytest.approx(2 / 3), pytest.approx(2 / 3))
+    assert got[0.3][:3] == (3, 2, 0)
+    assert got[0.3][4] == pytest.approx(1.0)
+
+
+def test_threshold_sweep_matches_sklearn_style_bruteforce(spark):
+    import random
+
+    from spacy_ann_linker_spark.evaluate import threshold_sweep_metrics
+
+    rng = random.Random(11)
+    rows = [(round(rng.random(), 2), rng.randint(0, 1)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "score double, is_match int")
+    got = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"])
+        for r in threshold_sweep_metrics(df).collect()
+    }
+    thresholds = sorted({s for s, _ in rows})
+    tot_pos = sum(y for _, y in rows)
+    for t in thresholds:
+        tp = sum(y for s, y in rows if s >= t)
+        fp = sum(1 - y for s, y in rows if s >= t)
+        assert got[t] == (tp, fp, tot_pos - tp), t
+
+
+def test_threshold_sweep_round_scores_collapses_buckets(spark):
+    from spacy_ann_linker_spark.evaluate import threshold_sweep_metrics
+
+    df = spark.createDataFrame(
+        [(0.70000001, 1), (0.70000002, 0), (0.5, 1)], "score double, is_match int"
+    )
+    out = threshold_sweep_metrics(df, round_scores=3).collect()
+    assert {r["threshold"] for r in out} == {0.7, 0.5}
+    by = {r["threshold"]: r for r in out}
+    assert (by[0.7]["tp"], by[0.7]["fp"]) == (1, 1)

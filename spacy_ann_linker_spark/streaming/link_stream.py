@@ -328,3 +328,38 @@ def neardup_stream(
     return keyed.groupBy("band", "bucket").applyInPandasWithState(
         claim, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def attribution_stream(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    key: str = "user_id",
+    imp_ts: str = "imp_ts",
+    click_ts: str = "click_ts",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM attribution join: each click joins the impressions of
+    the same key whose timestamp falls in [click - horizon, click] — the
+    streaming form of operators/interval.py's bucketized range join, and
+    the canonical Structured Streaming stream-stream join shape: BOTH
+    sides watermarked, plus an explicit event-time range predicate, so the
+    state store can evict impressions older than watermark + horizon
+    instead of buffering the full history of both streams.
+
+    Inner join by contract (the fully-supported stream-stream mode; outer
+    needs the same watermarks and emits NULL matches only after the
+    watermark passes). Batch parity on bounded input is pytest-pinned
+    against the plain batch join with the identical predicate."""
+    i = impressions.withColumn(imp_ts, F.col(imp_ts).cast("timestamp")).withWatermark(
+        imp_ts, watermark
+    )
+    c = clicks.withColumn(click_ts, F.col(click_ts).cast("timestamp")).withWatermark(
+        click_ts, watermark
+    )
+    cond = (
+        (i[key] == c[key])
+        & (i[imp_ts] <= c[click_ts])
+        & (i[imp_ts] >= c[click_ts] - F.expr(f"interval {horizon}"))
+    )
+    return i.join(c, cond, "inner").drop(c[key])

@@ -346,3 +346,60 @@ def test_neardup_stream_matches_batch_lsh_ownership(spark, tmp_path):
     assert flagged == want_flagged
     assert 5 in flagged  # exact dup must be flagged
     assert 1 in flagged  # near-dup shares at least one band
+
+
+def test_attribution_stream_matches_batch_join(spark, tmp_path):
+    """Stream-stream time-range join must produce exactly the batch join's
+    pairs on bounded input (inner mode, generous watermark)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spacy_ann_linker_spark.streaming.link_stream import attribution_stream
+
+    base = dt.datetime(2024, 1, 1)
+    imps = [
+        (u, base + dt.timedelta(minutes=t))
+        for u in range(4)
+        for t in (0, 20, 55)
+    ]
+    clicks = [
+        (u, base + dt.timedelta(minutes=t))
+        for u in range(4)
+        for t in (10, 45, 200)
+    ]
+    imp_df = spark.createDataFrame(imps, "user_id int, imp_ts timestamp")
+    clk_df = spark.createDataFrame(clicks, "user_id int, click_ts timestamp")
+    isrc, csrc = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    imp_df.coalesce(2).write.parquet(isrc)
+    clk_df.coalesce(2).write.parquet(csrc)
+
+    istream = spark.readStream.schema(imp_df.schema).option("maxFilesPerTrigger", "1").parquet(isrc)
+    cstream = spark.readStream.schema(clk_df.schema).option("maxFilesPerTrigger", "1").parquet(csrc)
+    out = attribution_stream(istream, cstream, horizon="30 minutes", watermark="10 hours")
+    q = out.writeStream.format("memory").queryName("attr_t").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["imp_ts"], r["click_ts"])
+        for r in spark.sql("select * from attr_t").collect()
+    }
+    want = {
+        (r["user_id"], r["imp_ts"], r["click_ts"])
+        for r in imp_df.join(
+            clk_df,
+            (imp_df.user_id == clk_df.user_id)
+            & (imp_df.imp_ts <= clk_df.click_ts)
+            & (imp_df.imp_ts >= clk_df.click_ts - F.expr("interval 30 minutes")),
+        )
+        .drop(clk_df.user_id)
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # sanity: a click never attributes to a later impression
+    for _, its, cts in got:
+        assert its <= cts

@@ -1115,6 +1115,45 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(docs, "source", 3, "doc_id")
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (extras/dedup.duplicate_spans): Lee
+    et al. 2021 substring dedup at token 5-gram granularity — every maximal
+    span of tokens covered by a k-gram occurring >= 2 times anywhere in the
+    corpus. Linear shape: in-row gram hashing behind a Generate barrier,
+    one groupBy(gh), join-back on the post-filter dup-gram minority,
+    one gaps-and-islands window per doc."""
+    from spacy_ann_linker_spark.extras.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return duplicate_spans(docs, "doc_id", "text", k=5, min_count=2)
+
+
+def _q_strip_duplicate_spans(spark, sf_dir):
+    """The composed substring-dedup cleaner (extras/dedup.
+    strip_duplicate_spans): cut every duplicated-span token and reassemble
+    survivors in order; all-duplicate docs come back empty with the row
+    kept (gate on n_removed < n_tokens)."""
+    from spacy_ann_linker_spark.extras.dedup import strip_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return strip_duplicate_spans(docs, "doc_id", "text", k=5)
+
+
+def _q_containment_pairs(spark, sf_dir):
+    """Asymmetric overlap-coefficient containment pairs (extras/dedup.
+    overlap_containment_pairs): |A∩B|/min(|A|,|B|) over char 4-grams —
+    the near-superset detector Jaccard structurally misses (snippet quoted
+    inside a longer transcript). Same inverted-index shape as the Jaccard
+    self-join."""
+    from spacy_ann_linker_spark.extras.dedup import overlap_containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = overlap_containment_pairs(docs, "doc_id", "text", n=4, threshold=0.9)
+    return out.select(
+        "id_a", "id_b", "contained_id", F.round("overlap", R).alias("overlap")
+    )
+
+
 # fixed Fellegi-Sunter (m, u) parameters for the oracle query — the scorer
 # bakes log2 weights into the plan as literals; the oracle replays the
 # identical repr() doubles in the identical sum order (byte-exact)
@@ -1490,6 +1529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_time_window": _q_event_time_window,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_lsh_jaccard": _q_lsh_verified_jaccard,
+        "dedup_duplicate_spans": _q_duplicate_spans,
+        "dedup_strip_spans": _q_strip_duplicate_spans,
+        "dedup_containment": _q_containment_pairs,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_lsh": _q_simhash_lsh,
         "ann_ivf_topk": _q_ivf_topk,
@@ -2699,6 +2741,112 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY cosine DESC, item_id ASC) AS rank
           FROM scored
         ) WHERE rank <= 3
+        """,
+        "dedup_duplicate_spans": r"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     w -> w <> '') AS toks
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, g.pos AS pos, g.gh AS gh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 5 + 2),
+                     i -> {'pos': i,
+                           'gh': ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::UBIGINT::BIGINT})) AS g
+            FROM toks)
+        ), dupg AS (
+          SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+        ), marked AS (
+          SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gh)
+        ), flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 5
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), isl AS (
+          SELECT doc_id, pos,
+                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        )
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+               count(*) AS n_dup_grams
+        FROM isl GROUP BY doc_id, island
+        """,
+        "dedup_strip_spans": r"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     w -> w <> '') AS toks
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, g.pos AS pos, g.gh AS gh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 5 + 2),
+                     i -> {'pos': i,
+                           'gh': ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::UBIGINT::BIGINT})) AS g
+            FROM toks)
+        ), dupg AS (
+          SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+        ), marked AS (
+          SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gh)
+        ), flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 5
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), isl AS (
+          SELECT doc_id, pos,
+                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ), spans AS (
+          SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+          FROM isl GROUP BY doc_id, island
+        ), tokens AS (
+          SELECT doc_id, t.i AS i, t.tok AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) + 1),
+                                         i -> {'i': i, 'tok': toks[i]})) AS t
+            FROM toks)
+        ), kept AS (
+          SELECT t.doc_id, t.i, t.tok FROM tokens t
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                            WHERE s.doc_id = t.doc_id
+                              AND t.i BETWEEN s.span_start AND s.span_end)
+        ), reasm AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+               len(b.toks) AS n_tokens,
+               len(b.toks) - coalesce(r.n_kept, 0) AS n_removed
+        FROM toks b LEFT JOIN reasm r USING (doc_id)
+        """,
+        "dedup_containment": r"""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        ), g AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(length(t) - 3, 0)),
+                                       i -> substring(t, i, 4))) AS gr
+          FROM norm WHERE length(t) >= 4
+        ), sizes AS (
+          SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               CASE WHEN sa.sz < sb.sz THEN id_a
+                    WHEN sb.sz < sa.sz THEN id_b
+                    ELSE least(id_a, id_b) END AS contained_id,
+               round(shared / least(sa.sz, sb.sz), 6) AS overlap
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+        WHERE shared / least(sa.sz, sb.sz) > 0.9
         """,
         "dedup_minhash_lsh": r"""
         WITH norm AS (

@@ -2,7 +2,10 @@
 (post-rounding) between every queries() entry and its oracle_sql() at the
 given SF dir — predicts hash_match, unlike the tolerant pytest mirror.
 
-  python scripts/strict_oracle_check.py [sf_dir]
+  python scripts/strict_oracle_check.py [sf_dir] [query_name ...]
+
+Extra args restrict the run to the named queries (fast iteration on a new
+operator); no extra args = the full gate.
 """
 import sys
 
@@ -32,6 +35,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracles = e.oracle_sql()
     qs = e.queries()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(oracles)
+        if unknown:
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
+        oracles = {k: v for k, v in oracles.items() if k in only}
     bad = []
     for name in sorted(oracles):
         sdf = qs[name](spark, SF)

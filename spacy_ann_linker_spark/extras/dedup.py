@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spacy_ann_linker_spark.extras.text_analysis import _words
+
 
 def _h60(col):
     """60-bit hash identical across engines:
@@ -637,6 +639,208 @@ def dedup_paragraphs(
             F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate SPANS at token k-gram granularity — the
+    suffix-array substring-dedup recipe of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed relationally:
+    instead of one global suffix array (inherently sequential), mark every
+    token position whose k-gram occurs >= `min_count` times in the WHOLE
+    corpus (same doc or not — verbatim self-repetition is a duplicate too,
+    per the paper), then merge overlapping/adjacent marked k-gram intervals
+    into maximal spans per document with one gaps-and-islands window. Any
+    substring of >= k tokens appearing twice anywhere is covered end-to-end
+    by emitted spans (every window of k consecutive tokens inside it is a
+    duplicated k-gram); substrings shorter than k are invisible — k is the
+    paper's minimum-match length knob (they use 50 BPE tokens).
+
+    Plan shape (linear, never all-pairs): token k-grams hash in-row to
+    `_h60` longs behind the explode-of-one Generate barrier (without it
+    Catalyst's CollapseProject re-runs the O(n) split once per gram — the
+    winnow_fingerprints trap); one map-side-combined groupBy(gh) counts
+    occurrences; the count table filters to dup grams BEFORE joining back
+    (the join-back, unlike a count window over gh, lets AQE split a
+    boilerplate-hot gram across reducers, and the dup-gram build side is
+    the post-filter minority); one window over (doc, pos) merges islands.
+    Only the 60-bit hash ever shuffles — no text rides any exchange
+    (the decontaminate_overlap discipline).
+    -> (doc_id, span_start, span_end, n_dup_grams), token positions
+    1-based inclusive; span_end = last covered token."""
+    from pyspark.sql import Window
+
+    toks = F.col("_toks")
+    n_grams = F.size(toks) - F.lit(k) + 1
+    gh_arr = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.struct(
+                i.alias("pos"), _h60(F.array_join(F.slice(toks, i, k), " ")).alias("gh")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
+    grams = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array(_words(F.col(text_col)))).alias("_toks"),
+        )
+        .select("doc_id", F.explode(gh_arr).alias("_g"))
+        .select("doc_id", F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+    )
+    dup_ghs = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("gh")
+    )
+    marked = grams.join(dup_ghs, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # intervals [pos, pos+k-1] merge when overlapping OR adjacent: a new
+    # island starts iff the gap to the previous marked gram exceeds k
+    flagged = marked.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_grams")
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+    joiner: str = " ",
+) -> DataFrame:
+    """The composed substring-dedup CLEANER: remove every token covered by a
+    duplicate_spans span and reassemble the survivors in order (Lee et al.
+    cut the duplicated bytes out of the document rather than dropping whole
+    docs — repeated boilerplate dies, unique prose survives).
+
+    NOTE this removes ALL occurrences of a duplicated substring, including
+    the first (the paper's ExactSubstr variant keeps one copy; choosing a
+    canonical copy requires a global occurrence order — a keep-first
+    refinement would reuse the dedup_paragraphs winner pattern on span
+    hashes). All-duplicate docs come back with clean_text = '' and row
+    intact so callers can gate on n_removed < n_tokens.
+
+    Scale shape: spans per doc collapse to one in-row array (groupBy doc —
+    spans are rare, rows are tiny) and left-join back onto the token arrays;
+    the keep/drop decision and reassembly are pure in-row array ops.
+    -> (doc_id, clean_text, n_tokens, n_removed)."""
+    spans = (
+        duplicate_spans(df, id_col, text_col, k=k, min_count=min_count)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_toks")
+    )
+    covered = lambda i: F.size(
+        F.filter(
+            F.col("_spans"),
+            lambda s: (s["span_start"] <= i) & (i <= s["span_end"]),
+        )
+    ) > 0
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("_toks")), lambda i: ~covered(i)
+    )
+    return (
+        base.join(spans, "doc_id", "left")
+        .withColumn("_spans", F.coalesce("_spans", F.array()))
+        .select(
+            "doc_id",
+            F.when(
+                F.size("_toks") >= 1,
+                F.array_join(
+                    F.transform(kept_idx, lambda i: F.element_at("_toks", i)),
+                    joiner,
+                ),
+            )
+            .otherwise(F.lit(""))
+            .alias("clean_text"),
+            F.size("_toks").alias("n_tokens"),
+            (F.size("_toks") - F.size(kept_idx)).alias("n_removed"),
+        )
+    )
+
+
+def overlap_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by the overlap coefficient
+    |A ∩ B| / min(|A|, |B|) over char n-gram sets — catches near-SUPERSET
+    relations Jaccard structurally cannot: a transcript snippet quoted
+    inside a much longer conversation scores overlap ~1 while Jaccard
+    ~|small|/|large| -> 0. The standard containment-dedup companion to
+    ngram_jaccard_pairs (same inverted-index shape, different denominator);
+    pair orientation is reported explicitly (contained_id = the smaller
+    gram set, the side whose coverage the coefficient measures; ties by
+    doc-id order stay id_a < id_b).
+
+    Scale shape: identical to ngram_jaccard_pairs — inverted-index
+    self-join on shared grams + one pair groupBy; quadratic only PER SHARED
+    GRAM, with the same LSH escape hatch at corpus scale. -> (id_a, id_b,
+    contained_id, overlap), overlap > threshold, id_a < id_b."""
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_ngrams_col(F.col(text_col), n)).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "g")
+    b = grams.select(F.col("doc_id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .withColumn("overlap", F.col("shared") / F.least("sz_a", "sz_b"))
+        .filter(F.col("overlap") > F.lit(threshold))
+        .withColumn(
+            "contained_id",
+            F.when(F.col("sz_a") < F.col("sz_b"), F.col("id_a"))
+            .when(F.col("sz_b") < F.col("sz_a"), F.col("id_b"))
+            .otherwise(F.least("id_a", "id_b")),
+        )
+        .select("id_a", "id_b", "contained_id", "overlap")
     )
 
 

@@ -1105,6 +1105,37 @@ def _q_bm25_score(spark, sf_dir):
     )
 
 
+def _q_qlm_score(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval scoring (extras/retrieval.
+    qlm_score): log P(q|d) in Zhai's matched-terms-only rank-equivalent
+    form — the second classic lexical retrieval family next to BM25, same
+    inverted-index shape (zero-overlap docs never leave their partition)."""
+    from spacy_ann_linker_spark.extras.retrieval import qlm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    out = qlm_score(docs, qs)
+    return out.select(
+        "query_id", "doc_id", "n_matched_terms", F.round("score", R).alias("score")
+    )
+
+
+def _q_rrf_fusion(spark, sf_dir):
+    """Reciprocal rank fusion (extras/retrieval.rrf_fuse, Cormack et al.
+    SIGIR'09) of the BM25 and QLM rankings: 1/(60+rank) summed per
+    (query, doc). Ranks are taken on 6-dp-rounded scores with doc_id
+    tie-break so the fused output is reproducible exactly where the
+    rounded scores are (the cross-engine gate already proves those)."""
+    from spacy_ann_linker_spark.extras.retrieval import bm25_score, qlm_score, rrf_fuse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    fused = rrf_fuse([bm25_score(docs, qs), qlm_score(docs, qs)], k=60, score_round=R)
+    return fused.select(
+        "query_id", "doc_id", "n_systems", F.round("rrf_score", R).alias("rrf_score")
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Exact-count deterministic stratified sample (extras/sampling.py):
     the 3 lowest-md5 docs per source — the balanced-training-mix operator,
@@ -1537,6 +1568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ivf_topk,
         "ann_pq_topk": _q_pq_topk,
         "bm25_score": _q_bm25_score,
+        "qlm_score": _q_qlm_score,
+        "rrf_fusion": _q_rrf_fusion,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample_docs": _q_weighted_sample,
         "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
@@ -2906,6 +2939,103 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = c.id_a
         JOIN sizes sb ON sb.doc_id = c.id_b
         WHERE i.shared * 1.0 / (sa.sz + sb.sz - i.shared) > 0.5
+        """,
+        "qlm_score": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             w -> w <> '') AS toks
+          FROM documents
+        ), corpus AS (
+          SELECT sum(len(toks))::DOUBLE AS total_tokens FROM toks
+        ), words AS (
+          SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+          FROM words GROUP BY doc_id, term
+        ), cft AS (
+          SELECT term, sum(tf) AS cf FROM tf GROUP BY term
+        ), q(query_id, query_text) AS (
+          VALUES ('q_joins', 'hash join merge'),
+                 ('q_window', 'window sort order'),
+                 ('q_stream', 'stream batch data')
+        ), qterms AS (
+          SELECT query_id, term, count(*) AS qtf FROM (
+            SELECT query_id,
+                   unnest(list_filter(regexp_split_to_array(lower(query_text), '\s+'),
+                                      w -> w <> '')) AS term
+            FROM q)
+          GROUP BY query_id, term
+        ), qlens AS (
+          SELECT query_id, sum(qtf) AS qlen FROM qterms GROUP BY query_id
+        )
+        SELECT query_id, doc_id, count(*) AS n_matched_terms,
+               round(sum(qtf * ln(1.0 + tf / (2000.0 * cf / total_tokens)))
+                     + first(qlen) * ln(2000.0 / (first(dl) + 2000.0)), 6) AS score
+        FROM tf JOIN qterms USING (term) JOIN cft USING (term)
+                JOIN qlens USING (query_id) CROSS JOIN corpus
+        GROUP BY query_id, doc_id
+        """,
+        "rrf_fusion": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             w -> w <> '') AS toks
+          FROM documents
+        ), corpus AS (
+          SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl,
+                 sum(len(toks))::DOUBLE AS total_tokens
+          FROM toks
+        ), words AS (
+          SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+          FROM words GROUP BY doc_id, term
+        ), dft AS (
+          SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+        ), q(query_id, query_text) AS (
+          VALUES ('q_joins', 'hash join merge'),
+                 ('q_window', 'window sort order'),
+                 ('q_stream', 'stream batch data')
+        ), qterms AS (
+          SELECT query_id, term, count(*) AS qtf FROM (
+            SELECT query_id,
+                   unnest(list_filter(regexp_split_to_array(lower(query_text), '\s+'),
+                                      w -> w <> '')) AS term
+            FROM q)
+          GROUP BY query_id, term
+        ), qlens AS (
+          SELECT query_id, sum(qtf) AS qlen FROM qterms GROUP BY query_id
+        ), bm25 AS (
+          SELECT query_id, doc_id,
+                 round(sum(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                 ), 6) AS score
+          FROM tf JOIN qterms USING (term) JOIN dft USING (term) CROSS JOIN corpus
+          GROUP BY query_id, doc_id
+        ), qlm AS (
+          SELECT query_id, doc_id,
+                 round(sum(qtf * ln(1.0 + tf / (2000.0 * cf / total_tokens)))
+                       + first(qlen) * ln(2000.0 / (first(dl) + 2000.0)), 6) AS score
+          FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+                  JOIN qlens USING (query_id) CROSS JOIN corpus
+          GROUP BY query_id, doc_id
+        ), ranked AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id ASC) AS rank
+          FROM bm25
+          UNION ALL
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id ASC) AS rank
+          FROM qlm
+        )
+        SELECT query_id, doc_id, count(*) AS n_systems,
+               round(sum(1.0 / (60.0 + rank)), 6) AS rrf_score
+        FROM ranked GROUP BY query_id, doc_id
         """,
         "bm25_score": r"""
         WITH toks AS (

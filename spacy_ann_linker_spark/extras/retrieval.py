@@ -137,6 +137,145 @@ def bm25_score(
     )
 
 
+def qlm_score(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Query-likelihood unigram language model with Dirichlet smoothing
+    (Zhai & Lafferty, SIGIR'01) — the second classic lexical retrieval
+    family next to BM25, scoring log P(q|d) under a document LM smoothed
+    by the corpus LM. Used in Zhai's rank-equivalent matched-terms-only
+    form, which preserves the inverted-index shape:
+
+        score(q, d) = sum over matched terms t of
+                        qtf_t * ln(1 + tf_td / (mu * p(t|C)))
+                      + |q| * ln(mu / (dl_d + mu))
+        p(t|C) = cf_t / total_corpus_tokens
+
+    Only the sum's first part needs (doc, term) rows; the second is a pure
+    per-doc length normalizer — so, exactly like bm25_score, docs sharing
+    zero query terms never leave their input partition and are absent from
+    the output (their score is just the normalizer; emitting |Q|x|D| rows
+    would defeat the index). cf over the query-filtered term stream equals
+    full-corpus cf for every surviving term (the bm25 df discipline), and
+    the same single-lineage window trick avoids re-executing the
+    scan->explode->shuffle subtree. -> (query_id, doc_id, n_matched_terms,
+    score); score is NEGATIVE (a log-probability), higher = better."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+
+    # corpus scalar: total token count, from size() in-row — no explode
+    corpus = toks.agg(F.sum("dl").cast("double").alias("total_tokens"))
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(_words(F.col(query_text_col))).alias("term"),
+    ).groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+    qlens = qterms.groupBy("query_id").agg(F.sum("qtf").alias("qlen"))
+    qset = qterms.select("term").distinct()
+
+    words = toks.select("doc_id", "dl", F.explode("toks").alias("term")).join(
+        F.broadcast(qset), "term"
+    )
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    # corpus frequency as a window SUM over the tf output (linear lineage;
+    # equals full-corpus cf for every term surviving the query filter)
+    tf = tf.withColumn("cf", F.sum("tf").over(Window.partitionBy("term")))
+
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            "doc_id",
+            "dl",
+            (
+                F.col("qtf")
+                * F.log(
+                    F.lit(1.0)
+                    + F.col("tf")
+                    / (F.lit(mu) * F.col("cf") / F.col("total_tokens"))
+                )
+            ).alias("contrib"),
+        )
+    )
+    return (
+        scored.groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.sum("contrib").alias("_match_part"),
+            F.first("dl").alias("dl"),
+        )
+        .join(F.broadcast(qlens), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "n_matched_terms",
+            (
+                F.col("_match_part")
+                + F.col("qlen") * F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))
+            ).alias("score"),
+        )
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    score_round: int | None = None,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al., SIGIR'09): combine N
+    retrieval rankings into one by summing 1/(k + rank) per (query, doc) —
+    the standard score-free fusion for hybrid retrieval (BM25 + dense, BM25
+    + QLM, ...), robust to incomparable score scales because only RANKS
+    enter the sum. Docs missing from a system's list simply contribute
+    nothing for that system (the conventional top-k treatment).
+
+    Each input must have (query_id, doc_id, score). Ranks are per-system
+    row_numbers ordered by score desc with doc_id asc tie-break — fully
+    deterministic. `score_round` rounds scores BEFORE ranking: two engines
+    (or two cluster runs) that agree on scores only to p decimals would
+    otherwise flip ranks on sub-p noise; rounding makes the rank — and so
+    the fused output — reproducible wherever the rounded scores are.
+
+    Scale shape: one window per system (partitioned by query — queries are
+    many, the state per query is the doc list), one union, one final
+    groupBy(query, doc). Linear in the total ranked rows; no joins between
+    systems. -> (query_id, doc_id, n_systems, rrf_score)."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("doc_id").asc()
+    )
+    ranked = []
+    for r in rankings:
+        s = F.round("score", score_round) if score_round is not None else F.col("score")
+        ranked.append(
+            r.select("query_id", "doc_id", s.alias("_s"))
+            .withColumn("rank", F.row_number().over(w))
+            .select("query_id", "doc_id", "rank")
+        )
+    allr = ranked[0]
+    for r in ranked[1:]:
+        allr = allr.unionByName(r)
+    return allr.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_systems"),
+        F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("rrf_score"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -451,3 +451,135 @@ def test_threshold_sweep_round_scores_collapses_buckets(spark):
     assert {r["threshold"] for r in out} == {0.7, 0.5}
     by = {r["threshold"]: r for r in out}
     assert (by[0.7]["tp"], by[0.7]["fp"]) == (1, 1)
+
+
+# ---------------------------------------------------------- QLM + RRF
+
+
+def _py_qlm(query_terms, mu=2000.0):
+    """Independent reference: dict-based Dirichlet QLM (Zhai's
+    matched-terms-only rank-equivalent form) over DOCS."""
+    toks = {d: t.lower().split() for d, t in DOCS}
+    total = sum(len(v) for v in toks.values())
+    cf = {}
+    for ws in toks.values():
+        for t in ws:
+            cf[t] = cf.get(t, 0) + 1
+    out = {}
+    qlen = len(query_terms)
+    for d, ws in toks.items():
+        s, matched = 0.0, 0
+        for t in set(query_terms):
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            qtf = query_terms.count(t)
+            s += qtf * math.log(1.0 + tf / (mu * cf[t] / total))
+        if matched:
+            out[d] = (matched, s + qlen * math.log(mu / (len(ws) + mu)))
+    return out
+
+
+def test_qlm_matches_python_reference(spark, docs_df):
+    from spacy_ann_linker_spark.extras.retrieval import qlm_score
+
+    qs = spark.createDataFrame(
+        [("q1", "quick fox"), ("q2", "lazy dog")],
+        "query_id string, query_text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_matched_terms"], r["score"])
+        for r in qlm_score(docs_df, qs).collect()
+    }
+    for qid, terms in (("q1", ["quick", "fox"]), ("q2", ["lazy", "dog"])):
+        ref = _py_qlm(terms)
+        assert {d for q, d in got if q == qid} == set(ref)
+        for d, (m, s) in ref.items():
+            gm, gs = got[(qid, d)]
+            assert gm == m
+            assert gs == pytest.approx(s, abs=1e-12)
+
+
+def test_qlm_rank_equivalent_to_full_dirichlet_log_prob(spark, docs_df):
+    """The matched-terms-only form must order docs exactly as the FULL
+    smoothed log P(q|d) = sum over q of ln((tf + mu*p(t|C)) / (dl + mu))
+    does — the property that justifies dropping unmatched terms."""
+    from spacy_ann_linker_spark.extras.retrieval import qlm_score
+
+    mu = 2000.0
+    toks = {d: t.lower().split() for d, t in DOCS}
+    total = sum(len(v) for v in toks.values())
+    cf = {}
+    for ws in toks.values():
+        for t in ws:
+            cf[t] = cf.get(t, 0) + 1
+    query = ["quick", "dog"]
+
+    def full(d):
+        ws = toks[d]
+        return sum(
+            math.log((ws.count(t) + mu * cf[t] / total) / (len(ws) + mu))
+            for t in query
+        )
+
+    qs = spark.createDataFrame([("q", "quick dog")], "query_id string, query_text string")
+    got = {r["doc_id"]: r["score"] for r in qlm_score(docs_df, qs).collect()}
+    matched = sorted(got, key=lambda d: got[d], reverse=True)
+    by_full = sorted(got, key=full, reverse=True)
+    assert matched == by_full
+
+
+def test_qlm_length_normalization_prefers_shorter_at_equal_tf(spark):
+    from spacy_ann_linker_spark.extras.retrieval import qlm_score
+
+    df = spark.createDataFrame(
+        [
+            ("short", "target word here"),
+            ("long", "target word here plus many extra unrelated filler tokens"),
+        ],
+        "doc_id string, text string",
+    )
+    qs = spark.createDataFrame([("q", "target")], "query_id string, query_text string")
+    got = {r["doc_id"]: r["score"] for r in qlm_score(df, qs).collect()}
+    assert got["short"] > got["long"]
+
+
+def test_rrf_hand_computed_with_missing_docs(spark):
+    from spacy_ann_linker_spark.extras.retrieval import rrf_fuse
+
+    # system A ranks d1 > d2 > d3; system B ranks d2 > d1 and has no d3
+    a = spark.createDataFrame(
+        [("q", "d1", 3.0), ("q", "d2", 2.0), ("q", "d3", 1.0)],
+        "query_id string, doc_id string, score double",
+    )
+    b = spark.createDataFrame(
+        [("q", "d2", 9.0), ("q", "d1", 8.0)],
+        "query_id string, doc_id string, score double",
+    )
+    got = {
+        r["doc_id"]: (r["n_systems"], r["rrf_score"])
+        for r in rrf_fuse([a, b], k=60).collect()
+    }
+    assert got["d1"] == (2, pytest.approx(1 / 61 + 1 / 62))
+    assert got["d2"] == (2, pytest.approx(1 / 62 + 1 / 61))
+    assert got["d3"] == (1, pytest.approx(1 / 63))
+
+
+def test_rrf_tie_break_and_score_rounding(spark):
+    from spacy_ann_linker_spark.extras.retrieval import rrf_fuse
+
+    # scores equal after 6-dp rounding -> rank by doc_id ascending
+    a = spark.createDataFrame(
+        [("q", "dB", 1.0000004), ("q", "dA", 1.0000001)],
+        "query_id string, doc_id string, score double",
+    )
+    got = {
+        r["doc_id"]: r["rrf_score"]
+        for r in rrf_fuse([a], k=60, score_round=6).collect()
+    }
+    assert got["dA"] == pytest.approx(1 / 61)
+    assert got["dB"] == pytest.approx(1 / 62)
+    # unrounded, dB genuinely outranks dA
+    got2 = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([a], k=60).collect()}
+    assert got2["dB"] == pytest.approx(1 / 61)

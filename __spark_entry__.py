@@ -1105,6 +1105,19 @@ def _q_bm25_score(spark, sf_dir):
     )
 
 
+def _q_token_pmi(spark, sf_dir):
+    """PMI collocations over document co-occurrence (extras/profiling.
+    token_pmi, Church & Hanks 1990): statistically associated token pairs;
+    the df band is the scale governor (per-doc pair generation is
+    quadratic in surviving vocabulary). Pairs generate in-row — no
+    self-join."""
+    from spacy_ann_linker_spark.extras.profiling import token_pmi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = token_pmi(docs, min_df=5, min_pair_count=5)
+    return out.select("tok_a", "tok_b", "n_pair", F.round("pmi", R).alias("pmi"))
+
+
 def _q_qlm_score(spark, sf_dir):
     """Dirichlet query-likelihood retrieval scoring (extras/retrieval.
     qlm_score): log P(q|d) in Zhai's matched-terms-only rank-equivalent
@@ -1570,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_score": _q_bm25_score,
         "qlm_score": _q_qlm_score,
         "rrf_fusion": _q_rrf_fusion,
+        "token_pmi": _q_token_pmi,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample_docs": _q_weighted_sample,
         "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
@@ -2939,6 +2953,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = c.id_a
         JOIN sizes sb ON sb.doc_id = c.id_b
         WHERE i.shared * 1.0 / (sa.sz + sb.sz - i.shared) > 0.5
+        """,
+        "token_pmi": r"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'), w -> w <> ''))) AS tok
+          FROM documents
+        ), n AS (
+          SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+        ), band AS (
+          SELECT tok, count(*) AS df FROM toks GROUP BY tok HAVING count(*) >= 5
+        ), survived AS (
+          SELECT t.doc_id, t.tok, b.df FROM toks t JOIN band b USING (tok)
+        ), pairs AS (
+          SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_pair
+          FROM survived a JOIN survived b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY a.tok, b.tok HAVING count(*) >= 5
+        )
+        SELECT tok_a, tok_b, n_pair,
+               round(ln(n_pair::DOUBLE * n_docs / (da.df * db.df)), 6) AS pmi
+        FROM pairs JOIN band da ON da.tok = tok_a
+                   JOIN band db ON db.tok = tok_b
+                   CROSS JOIN n
         """,
         "qlm_score": r"""
         WITH toks AS (

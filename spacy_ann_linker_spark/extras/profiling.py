@@ -111,3 +111,90 @@ def group_percentiles(
             for i, p in enumerate(probs)
         ],
     )
+
+
+def token_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    max_df: int | None = None,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over DOCUMENT-level token co-occurrence
+    (Church & Hanks 1990) — the collocation / statistically-associated-pair
+    profile of a corpus: pmi(a,b) = ln(p(a,b) / (p(a) p(b))) with
+    p(x) = df_x / N and p(a,b) = docs containing both / N. The
+    training-pipeline uses: multiword-expression mining for tokenizer /
+    vocab decisions, template detection (boilerplate token pairs score
+    pmi ~ 0 at huge counts, real collocations score high), and feature
+    pairing for blocking keys.
+
+    The df band [min_df, max_df] is the SCALE GOVERNOR, not a tuning
+    nicety: per-doc pair generation is quadratic in the doc's surviving
+    vocabulary, so max_df caps the stopword blow-up (a token in every doc
+    pairs with everything and carries no information — its pmi is ~0 by
+    construction) and min_df kills the hapax tail that would flood the
+    pair table with unrepeatable pairs. Both are corpus stats from one
+    map-side-combined groupBy.
+
+    Plan shape: tokens -> df groupBy (shuffle 1) -> band filter -> ONE
+    groupBy(doc) reassembles the surviving distinct-token SET in-row
+    (shuffle 2, sorted for deterministic pair order) -> pairs generate
+    IN-ROW (nested transform + flatten, no self-join: the classic
+    a.join(b, doc) duplicates the token stream through a third exchange
+    and hits the same quadratic anyway) -> one pair groupBy (shuffle 3,
+    map-side combined). N docs rides in as a broadcast one-row agg.
+    -> (tok_a, tok_b, n_pair, pmi), tok_a < tok_b, n_pair >=
+    min_pair_count."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_words(F.col(text_col)))).alias("tok"),
+    )
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("_n"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    band = dfreq.filter(F.col("_df") >= min_df)
+    if max_df is not None:
+        band = band.filter(F.col("_df") <= max_df)
+    survived = toks.join(band, "tok")
+    per_doc = survived.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("tok")).alias("_ts")
+    )
+    n = F.size("_ts")
+    pairs_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at("_ts", i).alias("tok_a"),
+                    F.element_at("_ts", j).alias("tok_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        per_doc.filter(n >= 2)
+        .select(F.explode(pairs_arr).alias("_p"))
+        .select(F.col("_p.tok_a").alias("tok_a"), F.col("_p.tok_b").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    da = band.select(F.col("tok").alias("tok_a"), F.col("_df").alias("_dfa"))
+    db = band.select(F.col("tok").alias("tok_b"), F.col("_df").alias("_dfb"))
+    return (
+        pairs.join(da, "tok_a")
+        .join(db, "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair",
+            F.log(
+                F.col("n_pair").cast("double")
+                * F.col("_n")
+                / (F.col("_dfa") * F.col("_dfb"))
+            ).alias("pmi"),
+        )
+    )

@@ -87,3 +87,57 @@ def test_group_percentiles_single_pass_hash_agg(spark):
     df = spark.createDataFrame([("a", 1.0)], "grp string, x double")
     plan = group_percentiles(df, "grp", "x")._jdf.queryExecution().executedPlan().toString()
     assert "ObjectHashAggregate" in plan, plan[:2000]
+
+
+# ------------------------------------------------------------- token_pmi
+
+
+def test_token_pmi_hand_computed(spark):
+    import math
+
+    from spacy_ann_linker_spark.extras.profiling import token_pmi
+
+    # 4 docs; (alpha, beta) co-occur in 2 of them, each appears in 3
+    rows = [
+        (1, "alpha beta noise1"),
+        (2, "alpha beta noise2"),
+        (3, "alpha gamma noise3"),
+        (4, "beta gamma noise4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["tok_a"], r["tok_b"]): (r["n_pair"], r["pmi"])
+        for r in token_pmi(df, min_df=2, min_pair_count=1).collect()
+    }
+    n_pair, pmi = got[("alpha", "beta")]
+    assert n_pair == 2
+    assert pmi == pytest.approx(math.log(2 * 4 / (3 * 3)))
+    # gamma pairs occur once each: pmi = ln(1*4/(3*2))
+    assert got[("alpha", "gamma")][1] == pytest.approx(math.log(4 / 6))
+    # pair orientation is always tok_a < tok_b
+    assert all(a < b for a, b in got)
+
+
+def test_token_pmi_df_band_governs_pairs(spark):
+    from spacy_ann_linker_spark.extras.profiling import token_pmi
+
+    rows = [(i, f"stopword rare{i % 2} filler{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # stopword (df=6) excluded by max_df=5; filler* (df=1) by min_df=2
+    got = token_pmi(df, min_df=2, max_df=5, min_pair_count=1).collect()
+    toks = {t for r in got for t in (r["tok_a"], r["tok_b"])}
+    assert toks == set()  # rare0/rare1 never co-occur in one doc
+    got2 = token_pmi(df, min_df=2, min_pair_count=1).collect()
+    toks2 = {t for r in got2 for t in (r["tok_a"], r["tok_b"])}
+    assert "stopword" in toks2 and not any(t.startswith("filler") for t in toks2)
+
+
+def test_token_pmi_min_pair_count_filters(spark):
+    from spacy_ann_linker_spark.extras.profiling import token_pmi
+
+    rows = [(1, "a b"), (2, "a b"), (3, "a c")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["tok_a"], r["tok_b"]) for r in token_pmi(df, min_df=1, min_pair_count=2).collect()
+    }
+    assert got == {("a", "b")}

@@ -1105,6 +1105,20 @@ def _q_bm25_score(spark, sf_dir):
     )
 
 
+def _q_sliding_window_sn(spark, sf_dir):
+    """True sliding-window sorted neighborhood (candidates/blocking.
+    sliding_window_sn_pairs, Hernández & Stolfo merge/purge): global
+    (key, id) order via the two-level bucketed rank (no single-reducer
+    window), each record paired with its window-1 successors — exactly
+    bounded output regardless of key skew."""
+    from spacy_ann_linker_spark.candidates.blocking import sliding_window_sn_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return sliding_window_sn_pairs(cust, "c_custkey", "c_name", window=5)
+
+
 def _q_token_pmi(spark, sf_dir):
     """PMI collocations over document co-occurrence (extras/profiling.
     token_pmi, Church & Hanks 1990): statistically associated token pairs;
@@ -1584,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qlm_score": _q_qlm_score,
         "rrf_fusion": _q_rrf_fusion,
         "token_pmi": _q_token_pmi,
+        "sliding_window_sn": _q_sliding_window_sn,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample_docs": _q_weighted_sample,
         "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
@@ -2953,6 +2968,16 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = c.id_a
         JOIN sizes sb ON sb.doc_id = c.id_b
         WHERE i.shared * 1.0 / (sa.sz + sb.sz - i.shared) > 0.5
+        """,
+        "sliding_window_sn": r"""
+        WITH ranked AS (
+          SELECT c_custkey AS rid, c_name AS k,
+                 row_number() OVER (ORDER BY c_name, c_custkey) AS rank
+          FROM customer
+        ), d(w_dist) AS (VALUES (1), (2), (3), (4))
+        SELECT a.rid AS id_a, b.rid AS id_b, a.k AS key_a, b.k AS key_b,
+               d.w_dist AS w_dist
+        FROM ranked a CROSS JOIN d JOIN ranked b ON b.rank = a.rank + d.w_dist
         """,
         "token_pmi": r"""
         WITH toks AS (

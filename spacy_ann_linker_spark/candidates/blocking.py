@@ -123,6 +123,68 @@ def sorted_neighborhood_pairs(
     return t.join(a, "_bk").select("text", "alias").distinct()
 
 
+def sliding_window_sn_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 5,
+    bucket_prefix_len: int = 1,
+) -> DataFrame:
+    """TRUE sliding-window sorted neighborhood (Hernández & Stolfo,
+    SIGMOD'95 merge/purge): impose ONE global order on all records by
+    (key, id) and pair every record with the `window - 1` records that
+    follow it — exactly w-1 candidate pairs per record regardless of how
+    keys cluster. This is the bounded-output complement to the equi-key
+    variant above (`sorted_neighborhood_pairs` pairs whole prefix BLOCKS:
+    a hot prefix makes a quadratic block; the sliding window by
+    construction cannot).
+
+    The global rank is the distributed-SN crux — a bare
+    row_number() OVER (ORDER BY key) collapses to ONE reducer. Standard
+    two-level recipe instead: records bucket by an ORDER-COMPATIBLE key
+    prefix (prefix buckets are contiguous under the same lexicographic
+    order, so per-bucket ranks + bucket offsets compose to the exact
+    global rank); per-bucket row_numbers run in parallel; offsets come
+    from one cumulative window over the |buckets|-row count table (tiny —
+    that is the only globally-ordered window, and it never sees record
+    rows). `bucket_prefix_len` is the parallelism/skew knob: each bucket
+    is one window partition, so lengthen the prefix until the hottest
+    bucket fits a reducer.
+
+    Neighbor join: each record explodes to w-1 (rank + d) probes and
+    equi-joins on the successor rank — ranks are DENSE integers, so the
+    join keys are perfectly uniform (no skew by construction, the reason
+    SN survives Zipf keys that break block joins). Records orient by rank
+    (id_a precedes id_b in sort order). -> (id_a, id_b, key_a, key_b,
+    w_dist), w_dist in [1, window-1]."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    keyed = df.select(F.col(id_col).alias("_rid"), F.col(key_col).alias("_k"))
+    keyed = keyed.withColumn("_b", F.substring("_k", 1, bucket_prefix_len))
+    wb = Window.partitionBy("_b").orderBy("_k", "_rid")
+    rn = keyed.withColumn("_rn", F.row_number().over(wb))
+    counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_b", F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off")
+    )
+    ranked = rn.join(F.broadcast(offs), "_b").select(
+        "_rid", "_k", (F.col("_rn") + F.col("_off")).alias("_rank")
+    )
+    probes = ranked.select(
+        F.col("_rid").alias("id_a"),
+        F.col("_k").alias("key_a"),
+        F.col("_rank").alias("_ra"),
+        F.explode(F.array(*[F.lit(d) for d in range(1, window)])).alias("w_dist"),
+    ).withColumn("_rb", F.col("_ra") + F.col("w_dist"))
+    succ = ranked.select(
+        F.col("_rid").alias("id_b"),
+        F.col("_k").alias("key_b"),
+        F.col("_rank").alias("_rb"),
+    )
+    return probes.join(succ, "_rb").select("id_a", "id_b", "key_a", "key_b", "w_dist")
+
+
 def phonetic_block_pairs(
     texts: DataFrame, aliases: DataFrame, salt_buckets: int = 0
 ) -> DataFrame:

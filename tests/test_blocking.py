@@ -451,3 +451,69 @@ def test_meta_block_unknown_method_raises(spark):
 
     with pytest.raises(ValueError):
         meta_block_prune(_pairs_df(spark, [(1, 2, 1)]), "nope")
+
+
+# ----------------------------------------------- sliding-window SN
+
+
+def test_sliding_window_sn_exact_pairs_small(spark):
+    from spacy_ann_linker_spark.candidates.blocking import sliding_window_sn_pairs
+
+    rows = [(1, "anna"), (2, "anne"), (3, "bob"), (4, "bobby"), (5, "carl")]
+    df = spark.createDataFrame(rows, "rid int, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["w_dist"])
+        for r in sliding_window_sn_pairs(df, "rid", "name", window=3).collect()
+    }
+    # sort order: anna(1) anne(2) bob(3) bobby(4) carl(5); w=3 -> dist 1,2
+    assert got == {
+        (1, 2, 1), (1, 3, 2), (2, 3, 1), (2, 4, 2),
+        (3, 4, 1), (3, 5, 2), (4, 5, 1),
+    }
+
+
+def test_sliding_window_sn_bounded_under_zipf_hot_key(spark):
+    """The property that distinguishes it from equi-key blocking: a hot
+    key contributes w-1 pairs per record, NEVER a quadratic block."""
+    from spacy_ann_linker_spark.candidates.blocking import sliding_window_sn_pairs
+
+    n = 200
+    rows = [(i, "constantine") for i in range(n)] + [(n, "zeta")]
+    df = spark.createDataFrame(rows, "rid int, name string")
+    w = 5
+    out = sliding_window_sn_pairs(df, "rid", "name", window=w)
+    # an equi-key block on this input holds C(200, 2) = 19900 id pairs;
+    # the window emits sum_d (n+1-d) — linear in n
+    expect = sum((n + 1) - d for d in range(1, w))
+    assert out.count() == expect
+
+
+def test_sliding_window_sn_bucket_prefix_len_invariant(spark):
+    """The two-level rank must be EXACT for any order-compatible bucket
+    granularity — longer prefixes only change parallelism."""
+    from spacy_ann_linker_spark.candidates.blocking import sliding_window_sn_pairs
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    base = sorted(
+        map(tuple, sliding_window_sn_pairs(cust, "c_custkey", "c_name", window=4).collect())
+    )
+    for p in (2, 4):
+        got = sorted(
+            map(
+                tuple,
+                sliding_window_sn_pairs(
+                    cust, "c_custkey", "c_name", window=4, bucket_prefix_len=p
+                ).collect(),
+            )
+        )
+        assert got == base
+
+
+def test_sliding_window_sn_window_validation(spark):
+    from spacy_ann_linker_spark.candidates.blocking import sliding_window_sn_pairs
+
+    df = spark.createDataFrame([(1, "a")], "rid int, name string")
+    with pytest.raises(ValueError):
+        sliding_window_sn_pairs(df, "rid", "name", window=1)

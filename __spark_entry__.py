@@ -1105,6 +1105,37 @@ def _q_bm25_score(spark, sf_dir):
     )
 
 
+def _q_ranking_metrics(spark, sf_dir):
+    """IR ranking quality (evaluate.ranking_metrics): per-query nDCG@10 +
+    average precision of the QLM ranking, judged by deterministic binary
+    relevance "doc contains ALL query terms" (derived as n_matched_terms ==
+    |query terms| from the bm25 match table — both engines rebuild it).
+    Relevant-but-unretrieved docs count against both metrics."""
+    from spacy_ann_linker_spark.evaluate import ranking_metrics
+    from spacy_ann_linker_spark.extras.retrieval import bm25_score, qlm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    n_terms = spark.createDataFrame(
+        [(qid, len(set(txt.split()))) for qid, txt in _BM25_QUERIES],
+        "query_id string, _nt int",
+    )
+    qrels = (
+        bm25_score(docs, qs)
+        .join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("n_matched_terms") == F.col("_nt"))
+        .select("query_id", "doc_id", F.lit(1).alias("rel"))
+    )
+    out = ranking_metrics(qlm_score(docs, qs), qrels, k=10, score_round=R)
+    return out.select(
+        "query_id",
+        "n_retrieved",
+        "n_rel",
+        F.round("ndcg_at_k", R).alias("ndcg_at_k"),
+        F.round("ap", R).alias("ap"),
+    )
+
+
 def _q_sliding_window_sn(spark, sf_dir):
     """True sliding-window sorted neighborhood (candidates/blocking.
     sliding_window_sn_pairs, Hernández & Stolfo merge/purge): global
@@ -1599,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": _q_rrf_fusion,
         "token_pmi": _q_token_pmi,
         "sliding_window_sn": _q_sliding_window_sn,
+        "ranking_metrics": _q_ranking_metrics,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample_docs": _q_weighted_sample,
         "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
@@ -2968,6 +3000,83 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = c.id_a
         JOIN sizes sb ON sb.doc_id = c.id_b
         WHERE i.shared * 1.0 / (sa.sz + sb.sz - i.shared) > 0.5
+        """,
+        "ranking_metrics": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             w -> w <> '') AS toks
+          FROM documents
+        ), corpus AS (
+          SELECT sum(len(toks))::DOUBLE AS total_tokens FROM toks
+        ), words AS (
+          SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+          FROM words GROUP BY doc_id, term
+        ), cft AS (
+          SELECT term, sum(tf) AS cf FROM tf GROUP BY term
+        ), q(query_id, query_text) AS (
+          VALUES ('q_joins', 'hash join merge'),
+                 ('q_window', 'window sort order'),
+                 ('q_stream', 'stream batch data')
+        ), qterms AS (
+          SELECT query_id, term, count(*) AS qtf FROM (
+            SELECT query_id,
+                   unnest(list_filter(regexp_split_to_array(lower(query_text), '\s+'),
+                                      w -> w <> '')) AS term
+            FROM q)
+          GROUP BY query_id, term
+        ), qlens AS (
+          SELECT query_id, sum(qtf) AS qlen, count(*) AS n_terms
+          FROM qterms GROUP BY query_id
+        ), qlm AS (
+          SELECT query_id, doc_id, count(*) AS n_matched,
+                 round(sum(qtf * ln(1.0 + tf / (2000.0 * cf / total_tokens)))
+                       + first(qlen) * ln(2000.0 / (first(dl) + 2000.0)), 6) AS s
+          FROM tf JOIN qterms USING (term) JOIN cft USING (term)
+                  JOIN qlens USING (query_id) CROSS JOIN corpus
+          GROUP BY query_id, doc_id
+        ), qrels AS (
+          SELECT m.query_id, m.doc_id, 1 AS rel
+          FROM qlm m JOIN qlens USING (query_id)
+          WHERE m.n_matched = n_terms
+        ), r AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY s DESC, doc_id ASC) AS rank
+          FROM qlm
+        ), j AS (
+          SELECT r.query_id, r.doc_id, r.rank, coalesce(qr.rel, 0) AS rel
+          FROM r LEFT JOIN qrels qr USING (query_id, doc_id)
+        ), cum AS (
+          SELECT *, sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY query_id ORDER BY rank) AS cum_rel
+          FROM j
+        ), perq AS (
+          SELECT query_id, count(*) AS n_retrieved,
+                 sum(CASE WHEN rank <= 10
+                          THEN (pow(2.0, rel) - 1.0) / log2(rank + 1.0)
+                          ELSE 0.0 END) AS dcg,
+                 sum(CASE WHEN rel > 0 THEN cum_rel::DOUBLE / rank
+                          ELSE 0.0 END) AS ap_num
+          FROM cum GROUP BY query_id
+        ), ideal AS (
+          SELECT query_id, count(*) AS n_rel,
+                 sum(CASE WHEN irank <= 10 THEN 1.0 / log2(irank + 1.0)
+                          ELSE 0.0 END) AS idcg
+          FROM (SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, doc_id ASC) AS irank
+                FROM qrels)
+          GROUP BY query_id
+        )
+        SELECT p.query_id, p.n_retrieved, coalesce(i.n_rel, 0) AS n_rel,
+               round(CASE WHEN coalesce(i.idcg, 0.0) > 0.0
+                          THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg_at_k,
+               round(CASE WHEN coalesce(i.n_rel, 0) > 0
+                          THEN p.ap_num / i.n_rel ELSE 0.0 END, 6) AS ap
+        FROM perq p LEFT JOIN ideal i USING (query_id)
         """,
         "sliding_window_sn": r"""
         WITH ranked AS (

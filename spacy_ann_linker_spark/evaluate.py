@@ -408,3 +408,100 @@ def threshold_sweep_metrics(
         r.alias("recall"),
         F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)).alias("f1"),
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    score_round: int | None = None,
+) -> DataFrame:
+    """Per-query ranking quality — nDCG@k (graded, Järvelin & Kekäläinen
+    2002, exponential gain (2^rel - 1)/log2(rank+1)) and average precision
+    (binary: rel > 0 counts as relevant) — the standard IR evaluation pair
+    for the retrieval operators (bm25_score / qlm_score / rrf_fuse).
+
+    Inputs: `ranked` (query_id, doc_id, score); `qrels` (query_id, doc_id,
+    rel int >= 0, absent pairs = 0). Relevant-but-unretrieved docs count
+    against BOTH metrics: the AP denominator is the query's total relevant
+    count from qrels, and the ideal DCG ranks the FULL qrels list — a
+    system cannot score 1.0 by returning one good doc and hiding the rest.
+
+    Determinism: ranks are row_numbers ordered by (score desc, doc_id asc);
+    `score_round` pre-rounds scores so rank order is reproducible wherever
+    p-decimal scores are (the rrf_fuse discipline). Plan shape: one window
+    per side partitioned by query (queries are many, per-query state is the
+    doc list), one join on (query, doc), two small aggs — linear, no
+    cross-system joins. -> (query_id, n_retrieved, n_rel, ndcg_at_k, ap);
+    queries with zero relevant docs report ndcg/ap = 0.0."""
+    from pyspark.sql import Window
+
+    s = F.round("score", score_round) if score_round is not None else F.col("score")
+    w = Window.partitionBy("query_id").orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+    r = (
+        ranked.select("query_id", "doc_id", s.alias("_s"))
+        .withColumn("rank", F.row_number().over(w))
+        .join(
+            qrels.select("query_id", "doc_id", F.col("rel").cast("int").alias("rel")),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .withColumn("rel", F.coalesce("rel", F.lit(0)))
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    r = r.withColumn(
+        "_cum_rel", F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).over(wcum)
+    )
+    per_q = r.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.sum(
+            F.when(
+                F.col("rank") <= k,
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("rank") + F.lit(1.0)),
+            ).otherwise(F.lit(0.0))
+        ).alias("_dcg"),
+        F.sum(
+            F.when(F.col("rel") > 0, F.col("_cum_rel") / F.col("rank")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("_ap_num"),
+    )
+    # ideal DCG ranks the FULL qrels list by grade (graded-general: a
+    # window over qrels, which is judgment-sized, not corpus-sized)
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ideal = (
+        qrels.filter(F.col("rel") > 0)
+        .withColumn("_irank", F.row_number().over(wi))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("_irank") <= k,
+                    (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                    / F.log2(F.col("_irank") + F.lit(1.0)),
+                ).otherwise(F.lit(0.0))
+            ).alias("_idcg"),
+        )
+    )
+    return (
+        per_q.join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            "n_retrieved",
+            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+            F.when(
+                F.coalesce("_idcg", F.lit(0.0)) > 0.0, F.col("_dcg") / F.col("_idcg")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg_at_k"),
+            F.when(
+                F.coalesce("n_rel", F.lit(0)) > 0, F.col("_ap_num") / F.col("n_rel")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ap"),
+        )
+    )

@@ -583,3 +583,63 @@ def test_rrf_tie_break_and_score_rounding(spark):
     # unrounded, dB genuinely outranks dA
     got2 = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([a], k=60).collect()}
     assert got2["dB"] == pytest.approx(1 / 61)
+
+
+# ------------------------------------------------------- ranking metrics
+
+
+def test_ranking_metrics_hand_computed(spark):
+    from spacy_ann_linker_spark.evaluate import ranking_metrics
+
+    # ranked order: d1 d2 d3 d4; relevant: d1 (rel 2), d3 (rel 1), d9 (rel 1,
+    # never retrieved — must count against AP denominator and ideal DCG)
+    ranked = spark.createDataFrame(
+        [("q", "d1", 4.0), ("q", "d2", 3.0), ("q", "d3", 2.0), ("q", "d4", 1.0)],
+        "query_id string, doc_id string, score double",
+    )
+    qrels = spark.createDataFrame(
+        [("q", "d1", 2), ("q", "d3", 1), ("q", "d9", 1)],
+        "query_id string, doc_id string, rel int",
+    )
+    row = ranking_metrics(ranked, qrels, k=10).collect()[0]
+    dcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(4)
+    idcg = (2**2 - 1) / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert row["ndcg_at_k"] == pytest.approx(dcg / idcg)
+    # AP: hits at ranks 1 (prec 1/1) and 3 (prec 2/3); denominator 3 rel
+    assert row["ap"] == pytest.approx((1.0 + 2.0 / 3.0) / 3)
+    assert (row["n_retrieved"], row["n_rel"]) == (4, 3)
+
+
+def test_ranking_metrics_perfect_and_zero(spark):
+    from spacy_ann_linker_spark.evaluate import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [("p", "d1", 2.0), ("p", "d2", 1.0), ("z", "d1", 2.0)],
+        "query_id string, doc_id string, score double",
+    )
+    qrels = spark.createDataFrame(
+        [("p", "d1", 1), ("p", "d2", 1)],
+        "query_id string, doc_id string, rel int",
+    )
+    by = {r["query_id"]: r for r in ranking_metrics(ranked, qrels, k=10).collect()}
+    assert by["p"]["ndcg_at_k"] == pytest.approx(1.0)
+    assert by["p"]["ap"] == pytest.approx(1.0)
+    # query with no relevant docs at all: well-defined zeros, row kept
+    assert by["z"]["ndcg_at_k"] == 0.0 and by["z"]["ap"] == 0.0 and by["z"]["n_rel"] == 0
+
+
+def test_ranking_metrics_k_cutoff(spark):
+    from spacy_ann_linker_spark.evaluate import ranking_metrics
+
+    # relevant doc sits at rank 3; with k=2 it is outside the DCG window
+    ranked = spark.createDataFrame(
+        [("q", "d1", 3.0), ("q", "d2", 2.0), ("q", "d3", 1.0)],
+        "query_id string, doc_id string, score double",
+    )
+    qrels = spark.createDataFrame(
+        [("q", "d3", 1)], "query_id string, doc_id string, rel int"
+    )
+    row = ranking_metrics(ranked, qrels, k=2).collect()[0]
+    assert row["ndcg_at_k"] == 0.0
+    # AP has no cutoff: hit at rank 3, one relevant doc
+    assert row["ap"] == pytest.approx(1.0 / 3.0)

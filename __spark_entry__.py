@@ -1105,6 +1105,19 @@ def _q_bm25_score(spark, sf_dir):
     )
 
 
+def _q_context_window(spark, sf_dir):
+    """Sliding conversational context (extras/sessionize.context_window):
+    previous-2 texts per key in event order, concatenated — the multi-turn
+    disambiguation-context builder. One bounded-frame window, no joins."""
+    from spacy_ann_linker_spark.extras.sessionize import context_window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = context_window(ev, "user_id", ["ts", "event_id"], "event_type", n_prev=2)
+    return out.select("event_id", "user_id", "prev_context", "context")
+
+
 def _q_ranking_metrics(spark, sf_dir):
     """IR ranking quality (evaluate.ranking_metrics): per-query nDCG@10 +
     average precision of the QLM ranking, judged by deterministic binary
@@ -1631,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pmi": _q_token_pmi,
         "sliding_window_sn": _q_sliding_window_sn,
         "ranking_metrics": _q_ranking_metrics,
+        "context_window": _q_context_window,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample_docs": _q_weighted_sample,
         "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
@@ -3000,6 +3014,21 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = c.id_a
         JOIN sizes sb ON sb.doc_id = c.id_b
         WHERE i.shared * 1.0 / (sa.sz + sb.sz - i.shared) > 0.5
+        """,
+        "context_window": r"""
+        WITH w AS (
+          SELECT event_id, user_id,
+                 coalesce(array_to_string(list(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), ' '), '')
+                   AS prev_context,
+                 event_type
+          FROM events
+        )
+        SELECT event_id, user_id, prev_context,
+               CASE WHEN prev_context = '' THEN event_type
+                    ELSE prev_context || ' ' || event_type END AS context
+        FROM w
         """,
         "ranking_metrics": r"""
         WITH toks AS (

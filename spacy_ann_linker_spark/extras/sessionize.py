@@ -86,3 +86,42 @@ def session_windows(
             "total_value",
         )
     )
+
+
+def context_window(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    text_col: str,
+    n_prev: int = 2,
+    joiner: str = " ",
+) -> DataFrame:
+    """Sliding conversational context: for every row, the previous `n_prev`
+    texts of the same key (conversation / session / user) in event order,
+    concatenated — the standard pre-processing that turns a per-turn linker
+    into a multi-turn one (the reference links against the sentence the
+    mention sits in, spacy_ann ann_linker.py; at transcript scale the
+    disambiguation context is the preceding turns, assembled here and fed
+    to the same context-embedding stage via link_transcripts' mentions=
+    hook).
+
+    Plan shape: ONE window partitioned by key with a bounded row frame
+    [-n_prev, -1] — state per partition is the conversation's rows, frame
+    cost O(n_prev) per row; no joins, no explode. The first rows of each
+    key get the shorter natural prefix ('' for the very first). Ties in
+    `order_cols` must be broken by the caller (pass a unique id last) —
+    frame semantics under duplicate sort keys are otherwise
+    engine-dependent. -> input columns + prev_context + context
+    (prev_context `joiner` text; just text when prev is empty)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-n_prev, -1)
+    )
+    prev = F.array_join(F.collect_list(F.col(text_col)).over(w), joiner)
+    return df.withColumn("prev_context", prev).withColumn(
+        "context",
+        F.when(F.col("prev_context") == "", F.col(text_col)).otherwise(
+            F.concat_ws(joiner, F.col("prev_context"), F.col(text_col))
+        ),
+    )

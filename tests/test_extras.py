@@ -972,3 +972,45 @@ def test_cosine_allpairs_empty_token_records_excluded(spark):
     )
     got = prefix_filter_cosine_pairs(df, "id", "text", 0.5).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {(2, 3)}
+
+
+# ------------------------------------------------------- context_window
+
+
+def test_context_window_hand_computed(spark):
+    from spacy_ann_linker_spark.extras.sessionize import context_window
+
+    rows = [
+        ("c1", 0, "hello there"),
+        ("c1", 1, "how are you"),
+        ("c1", 2, "fine thanks"),
+        ("c1", 3, "great"),
+        ("c2", 0, "other conv"),
+    ]
+    df = spark.createDataFrame(rows, "conv string, idx int, text string")
+    got = {
+        (r["conv"], r["idx"]): (r["prev_context"], r["context"])
+        for r in context_window(df, "conv", ["idx"], "text", n_prev=2).collect()
+    }
+    assert got[("c1", 0)] == ("", "hello there")
+    assert got[("c1", 1)] == ("hello there", "hello there how are you")
+    assert got[("c1", 2)] == (
+        "hello there how are you",
+        "hello there how are you fine thanks",
+    )
+    # frame is bounded: idx 3 sees turns 1-2 only, turn 0 fell out
+    assert got[("c1", 3)] == ("how are you fine thanks", "how are you fine thanks great")
+    # conversations are isolated
+    assert got[("c2", 0)] == ("", "other conv")
+
+
+def test_context_window_custom_joiner_and_n_prev(spark):
+    from spacy_ann_linker_spark.extras.sessionize import context_window
+
+    rows = [("c", i, f"t{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "conv string, idx int, text string")
+    got = {
+        r["idx"]: r["context"]
+        for r in context_window(df, "conv", ["idx"], "text", n_prev=3, joiner=" | ").collect()
+    }
+    assert got[3] == "t0 | t1 | t2 | t3"

@@ -1105,6 +1105,24 @@ def _q_bm25_score(spark, sf_dir):
     )
 
 
+def _q_decayed_priors(spark, sf_dir):
+    """Exponentially time-decayed popularity priors (extras/profiling.
+    decayed_counts): 0.5^(age/half-life) weights aged from the corpus max
+    timestamp (deterministic — never the wall clock), normalized to a
+    prior — the recency-weighted replacement for J6's uniform entity
+    priors. One key agg + two one-row broadcasts."""
+    from spacy_ann_linker_spark.extras.profiling import decayed_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = decayed_counts(ev, "user_id", "ts", half_life_hours=168.0)
+    return out.select(
+        "key",
+        "n_events",
+        F.round("decayed_count", R).alias("decayed_count"),
+        F.round("prior", R).alias("prior"),
+    )
+
+
 def _q_context_window(spark, sf_dir):
     """Sliding conversational context (extras/sessionize.context_window):
     previous-2 texts per key in event order, concatenated — the multi-turn
@@ -1645,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_sn": _q_sliding_window_sn,
         "ranking_metrics": _q_ranking_metrics,
         "context_window": _q_context_window,
+        "decayed_priors": _q_decayed_priors,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample_docs": _q_weighted_sample,
         "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
@@ -3014,6 +3033,19 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = c.id_a
         JOIN sizes sb ON sb.doc_id = c.id_b
         WHERE i.shared * 1.0 / (sa.sz + sb.sz - i.shared) > 0.5
+        """,
+        "decayed_priors": r"""
+        WITH ref AS (SELECT max(epoch_us(ts)) AS r FROM events),
+        w AS (
+          SELECT user_id AS key,
+                 pow(0.5, ((r - epoch_us(ts)) / 3.6e9) / 168.0) AS w
+          FROM events CROSS JOIN ref
+        ), per_key AS (
+          SELECT key, count(*) AS n_events, sum(w) AS dc FROM w GROUP BY key
+        ), tot AS (SELECT sum(dc) AS t FROM per_key)
+        SELECT key, n_events, round(dc, 6) AS decayed_count,
+               round(dc / t, 6) AS prior
+        FROM per_key CROSS JOIN tot
         """,
         "context_window": r"""
         WITH w AS (

@@ -248,6 +248,14 @@ def run_bench(cpus: int) -> dict:
         "cascade_link",
         "dedup_paragraphs",
         "cosine_similarity_join",
+        "dedup_duplicate_spans",
+        "dedup_containment",
+        "qlm_score",
+        "rrf_fusion",
+        "token_pmi",
+        "sliding_window_sn",
+        "ranking_metrics",
+        "context_window",
     ]:
         t0 = time.perf_counter()
         _noop(queries[name](spark, SF_DIR))

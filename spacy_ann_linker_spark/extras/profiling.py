@@ -198,3 +198,43 @@ def token_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    half_life_hours: float = 168.0,
+) -> DataFrame:
+    """Exponentially time-decayed popularity per key: each event carries
+    weight 0.5 ** (age / half_life), ages measured back from the corpus
+    max timestamp — a DETERMINISTIC reference point (never the wall clock:
+    the same input must produce the same output on every run and both
+    engines). Emits the normalized share as `prior` — the recency-weighted
+    replacement for uniform entity priors (kb/build.py J6): an alias seen
+    hourly last week should outrank one last seen in 2019 at equal counts,
+    which raw frequency cannot express.
+
+    Plan shape: one in-row epoch/weight projection, the corpus max as a
+    one-row broadcast (never a driver pull), one map-side-combined
+    groupBy(key), one more one-row broadcast for the normalizer. Two tiny
+    crossJoin(broadcast) — zero real shuffles beyond the key agg.
+    -> (key, n_events, decayed_count, prior)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ref = df.agg(F.max(us).alias("_ref"))
+    weighted = df.select(F.col(key_col).alias("key"), us.alias("_us")).crossJoin(
+        F.broadcast(ref)
+    )
+    age_h = (F.col("_ref") - F.col("_us")) / F.lit(3.6e9)
+    per_key = (
+        weighted.select("key", F.pow(F.lit(0.5), age_h / F.lit(half_life_hours)).alias("_w"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("_w").alias("decayed_count"))
+    )
+    total = per_key.agg(F.sum("decayed_count").alias("_tot"))
+    return per_key.crossJoin(F.broadcast(total)).select(
+        "key",
+        "n_events",
+        "decayed_count",
+        (F.col("decayed_count") / F.col("_tot")).alias("prior"),
+    )

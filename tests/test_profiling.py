@@ -141,3 +141,54 @@ def test_token_pmi_min_pair_count_filters(spark):
         (r["tok_a"], r["tok_b"]) for r in token_pmi(df, min_df=1, min_pair_count=2).collect()
     }
     assert got == {("a", "b")}
+
+
+# ---------------------------------------------------------- decayed_counts
+
+
+def test_decayed_counts_hand_computed(spark):
+    from spacy_ann_linker_spark.extras.profiling import decayed_counts
+
+    # half-life 1 hour; ref = max ts = 12:00. a: events at 12:00 (w=1) and
+    # 11:00 (w=0.5); b: one event at 10:00 (w=0.25)
+    rows = [
+        ("a", "2024-01-01 12:00:00"),
+        ("a", "2024-01-01 11:00:00"),
+        ("b", "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string")
+    got = {
+        r["key"]: (r["n_events"], r["decayed_count"], r["prior"])
+        for r in decayed_counts(df, "k", "ts", half_life_hours=1.0).collect()
+    }
+    assert got["a"][0] == 2 and got["a"][1] == pytest.approx(1.5)
+    assert got["b"][0] == 1 and got["b"][1] == pytest.approx(0.25)
+    assert got["a"][2] == pytest.approx(1.5 / 1.75)
+    assert got["b"][2] == pytest.approx(0.25 / 1.75)
+
+
+def test_decayed_counts_recency_beats_raw_frequency(spark):
+    """The reason it exists: at equal counts the recent key takes the
+    larger prior; with enough staleness even a LARGER count loses."""
+    from spacy_ann_linker_spark.extras.profiling import decayed_counts
+
+    rows = [("stale", f"2024-01-0{d} 00:00:00") for d in range(1, 6)] + [
+        ("fresh", "2024-03-01 00:00:00"),
+        ("fresh", "2024-03-01 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string")
+    got = {r["key"]: r for r in decayed_counts(df, "k", "ts", half_life_hours=24.0).collect()}
+    assert got["stale"]["n_events"] == 5 and got["fresh"]["n_events"] == 2
+    assert got["fresh"]["prior"] > got["stale"]["prior"]
+
+
+def test_decayed_counts_priors_sum_to_one(spark):
+    from spacy_ann_linker_spark.extras.profiling import decayed_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    total = (
+        decayed_counts(ev, "event_type", "ts")
+        .agg(F.sum("prior").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == pytest.approx(1.0)

@@ -1105,6 +1105,21 @@ def _q_bm25_score(spark, sf_dir):
     )
 
 
+def _q_contrastive_negatives(spark, sf_dir):
+    """Deterministic random negatives (extras/sampling.
+    contrastive_negatives, DPR-style): probe i of anchor a lands at pool
+    index h60(a:i) mod N over a dense global rank — reproducible on any
+    partitioning; self-pairs anti-joined out as positives."""
+    from spacy_ann_linker_spark.extras.sampling import contrastive_negatives
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    anchors = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    positives = anchors.select("anchor_id", F.col("anchor_id").alias("doc_id"))
+    return contrastive_negatives(anchors, docs, k=4, positives=positives)
+
+
 def _q_decayed_priors(spark, sf_dir):
     """Exponentially time-decayed popularity priors (extras/profiling.
     decayed_counts): 0.5^(age/half-life) weights aged from the corpus max
@@ -1664,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_metrics": _q_ranking_metrics,
         "context_window": _q_context_window,
         "decayed_priors": _q_decayed_priors,
+        "contrastive_negatives": _q_contrastive_negatives,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample_docs": _q_weighted_sample,
         "cluster_pairwise_metrics": _q_cluster_pairwise_metrics,
@@ -3033,6 +3049,25 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = c.id_a
         JOIN sizes sb ON sb.doc_id = c.id_b
         WHERE i.shared * 1.0 / (sa.sz + sb.sz - i.shared) > 0.5
+        """,
+        "contrastive_negatives": r"""
+        WITH ranked AS (
+          SELECT doc_id AS pid, row_number() OVER (ORDER BY doc_id) AS prank
+          FROM documents
+        ), n AS (SELECT count(*) AS np FROM documents),
+        anchors AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 50),
+        probes AS (
+          SELECT anchor_id, i AS probe_idx,
+                 (('0x' || substr(md5(anchor_id || ':' || i), 1, 15))::UBIGINT::BIGINT
+                  % np) + 1 AS prank
+          FROM anchors CROSS JOIN n, unnest(generate_series(0, 3)) AS t(i)
+        ), pairs AS (
+          SELECT anchor_id, pid AS neg_id, probe_idx
+          FROM probes JOIN ranked USING (prank)
+          WHERE pid <> anchor_id
+        )
+        SELECT anchor_id, neg_id, min(probe_idx) AS probe_idx
+        FROM pairs GROUP BY anchor_id, neg_id
         """,
         "decayed_priors": r"""
         WITH ref AS (SELECT max(epoch_us(ts)) AS r FROM events),

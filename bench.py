@@ -256,6 +256,8 @@ def run_bench(cpus: int) -> dict:
         "sliding_window_sn",
         "ranking_metrics",
         "context_window",
+        "decayed_priors",
+        "contrastive_negatives",
     ]:
         t0 = time.perf_counter()
         _noop(queries[name](spark, SF_DIR))

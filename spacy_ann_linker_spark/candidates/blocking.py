@@ -159,17 +159,14 @@ def sliding_window_sn_pairs(
     w_dist), w_dist in [1, window-1]."""
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
+    from spacy_ann_linker_spark.operators.rank import global_row_number
+
     keyed = df.select(F.col(id_col).alias("_rid"), F.col(key_col).alias("_k"))
-    keyed = keyed.withColumn("_b", F.substring("_k", 1, bucket_prefix_len))
-    wb = Window.partitionBy("_b").orderBy("_k", "_rid")
-    rn = keyed.withColumn("_rn", F.row_number().over(wb))
-    counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
-    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offs = counts.select(
-        "_b", F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off")
-    )
-    ranked = rn.join(F.broadcast(offs), "_b").select(
-        "_rid", "_k", (F.col("_rn") + F.col("_off")).alias("_rank")
+    ranked = global_row_number(
+        keyed,
+        ["_k", "_rid"],
+        F.substring("_k", 1, bucket_prefix_len),
+        out_col="_rank",
     )
     probes = ranked.select(
         F.col("_rid").alias("id_a"),

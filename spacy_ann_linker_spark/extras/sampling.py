@@ -320,3 +320,74 @@ def cdc_chunks(
             F.expr("substring(_t, _sp.s, _sp.e - _sp.s + 1)").alias("chunk"),
         )
     )
+
+
+def contrastive_negatives(
+    anchors: DataFrame,
+    pool: DataFrame,
+    k: int = 5,
+    anchor_id_col: str = "anchor_id",
+    pool_id_col: str = "doc_id",
+    positives: DataFrame | None = None,
+    bucket=None,
+) -> DataFrame:
+    """Deterministic random negatives for contrastive training pairs: each
+    anchor draws `k` pseudo-random pool records via hash probes — the
+    in-batch-negatives / random-negatives recipe of bi-encoder training
+    (DPR, Karpukhin et al. 2020), made REPRODUCIBLE: probe i of anchor a
+    lands at pool index h60(a:i) mod N, so the same (anchors, pool, k)
+    always yields the same pairs on any cluster and any partitioning —
+    no rand(), no wall clock, re-runnable lineage.
+
+    Plan shape: the pool gets an exact dense 1..N index from
+    operators/rank.global_row_number (two-level bucketed rank — no
+    single-reducer window; `bucket` must be order-compatible with
+    pool_id_col, default floor(id / 4096) for numeric ids); anchors explode
+    to k probe rows; the probe→pool join is 1:1 equi on DENSE integers —
+    perfectly uniform keys, no skew by construction. N rides as a one-row
+    broadcast, never a driver pull.
+
+    Collisions: two probes of one anchor can land on the same pool row
+    (~k²/2N chance per anchor), and `positives` pairs (anchor_id, pool_id)
+    — pass the gold links plus self-pairs — are anti-joined OUT; both make
+    an anchor come back with FEWER than k negatives (the standard
+    oversample-and-filter treatment: raise k rather than re-probe, which
+    would serialize). probe_idx keeps the smallest drawing index per
+    surviving pair. -> (anchor_id, neg_id, probe_idx)."""
+    from spacy_ann_linker_spark.extras.dedup import _h60
+    from spacy_ann_linker_spark.operators.rank import global_row_number
+
+    if bucket is None:
+        bucket = F.floor(F.col(pool_id_col) / F.lit(4096))
+    ranked = global_row_number(
+        pool.select(pool_id_col), [pool_id_col], bucket, out_col="_prank"
+    ).withColumnRenamed(pool_id_col, "_pid")
+    n_pool = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    probes = (
+        anchors.select(F.col(anchor_id_col).alias("anchor_id"))
+        .distinct()
+        .select(
+            "anchor_id",
+            F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("probe_idx"),
+        )
+        .crossJoin(F.broadcast(n_pool))
+        .withColumn(
+            "_prank",
+            F.pmod(
+                _h60(F.concat_ws(":", F.col("anchor_id"), F.col("probe_idx"))),
+                F.col("_n"),
+            )
+            + F.lit(1),
+        )
+    )
+    pairs = probes.join(ranked, "_prank").select(
+        "anchor_id", F.col("_pid").alias("neg_id"), "probe_idx"
+    )
+    if positives is not None:
+        pos = positives.select(
+            F.col(anchor_id_col).alias("anchor_id"), F.col(pool_id_col).alias("neg_id")
+        )
+        pairs = pairs.join(pos, ["anchor_id", "neg_id"], "left_anti")
+    return pairs.groupBy("anchor_id", "neg_id").agg(
+        F.min("probe_idx").alias("probe_idx")
+    )

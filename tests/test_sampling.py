@@ -260,3 +260,75 @@ def test_weighted_sample_plan_has_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+# ------------------------------------------------- contrastive negatives
+
+
+def test_contrastive_negatives_deterministic_and_excludes_positives(spark):
+    from spacy_ann_linker_spark.extras.sampling import contrastive_negatives
+
+    pool = spark.createDataFrame([(i,) for i in range(100)], "doc_id int")
+    anchors = spark.createDataFrame([(1,), (2,), (3,)], "anchor_id int")
+    pos = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "anchor_id int, doc_id int"
+    )
+    a = sorted(map(tuple, contrastive_negatives(anchors, pool, k=5, positives=pos).collect()))
+    b = sorted(
+        map(
+            tuple,
+            contrastive_negatives(
+                anchors.repartition(3), pool.repartition(9), k=5, positives=pos
+            ).collect(),
+        )
+    )
+    assert a == b  # partition-invariant
+    assert all(aid != nid for aid, nid, _ in a)  # positives excluded
+    per_anchor = {}
+    for aid, _, _ in a:
+        per_anchor[aid] = per_anchor.get(aid, 0) + 1
+    # each anchor draws k probes; collisions/positives can only REDUCE
+    assert all(1 <= c <= 5 for c in per_anchor.values())
+
+
+def test_contrastive_negatives_probe_formula_pinned(spark):
+    """Probe i of anchor a must land at pool rank h60('a:i') mod N + 1 —
+    the reproducibility contract callers can rely on across engines."""
+    import hashlib
+
+    from spacy_ann_linker_spark.extras.sampling import contrastive_negatives
+
+    n = 37
+    pool = spark.createDataFrame([(i * 10,) for i in range(n)], "doc_id int")
+    anchors = spark.createDataFrame([(7,)], "anchor_id int")
+    got = {
+        (r["probe_idx"], r["neg_id"])
+        for r in contrastive_negatives(anchors, pool, k=3).collect()
+    }
+    ids = sorted(i * 10 for i in range(n))
+    expect = set()
+    for i in range(3):
+        h = int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:15], 16)
+        expect.add((i, ids[h % n]))
+    # min-probe dedup can merge colliding probes; every expected pair must
+    # appear with its smallest probe index
+    merged = {}
+    for i, d in sorted(expect):
+        merged.setdefault(d, i)
+    assert got == {(i, d) for d, i in merged.items()}
+
+
+def test_contrastive_negatives_draws_k_distinct_when_no_collisions(spark):
+    from spacy_ann_linker_spark.extras.sampling import contrastive_negatives
+
+    pool = spark.createDataFrame([(i,) for i in range(10_000)], "doc_id int")
+    anchors = spark.createDataFrame([(i,) for i in range(20)], "anchor_id int")
+    out = contrastive_negatives(anchors, pool, k=8)
+    counts = {
+        r["anchor_id"]: r["n"]
+        for r in out.groupBy("anchor_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # with N=10k and k=8, collisions are ~k^2/2N -- expect nearly all 8s
+    assert set(counts) == set(range(20))
+    assert all(c >= 7 for c in counts.values())
+    assert sum(1 for c in counts.values() if c == 8) >= 18

@@ -1701,10 +1701,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_link": _q_cascade_link,
         "threshold_sweep": _q_threshold_sweep,
         "multimodal_decode": _q_multimodal,
+        "qgram_edit_join": _q_qgram_edit_join,
+        "mutual_best_pairs": _q_mutual_best_pairs,
+        "temperature_mix": _q_temperature_mix,
+        "suffix_block_pairs": _q_suffix_block_pairs,
     }
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _q_qgram_edit_join(spark, sf_dir):
+    """Exact-recall edit-distance self-join (extras/dedup.qgram_edit_pairs,
+    Gravano VLDB'01 count/position/length filters + banded verify). Input:
+    distinct lowercased part names plus planted HEAD-character typos (first
+    char -> 'x' for every 7th part) — the pair class prefix blocking
+    structurally misses. The oracle is the BRUTE-FORCE levenshtein join, so
+    a green row checks the no-false-negative guarantee end-to-end."""
+    from spacy_ann_linker_spark.extras.dedup import qgram_edit_pairs
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .groupBy(F.lower(F.trim(F.col("p_name"))).alias("name"))
+        .agg(F.min("p_partkey").alias("id"))
+    )
+    typos = base.filter(F.col("id") % 7 == 0).select(
+        F.concat(F.lit("x"), F.expr("substring(name, 2)")).alias("name"),
+        (F.col("id") + 1000000).alias("id"),
+    )
+    names = (
+        base.unionByName(typos)
+        .groupBy("name")
+        .agg(F.min("id").alias("id"))
+    )
+    return qgram_edit_pairs(names, "id", "name", max_distance=1, q=2)
+
+
+def _q_mutual_best_pairs(spark, sf_dir):
+    """Mutual-best-match pairing (cluster/matching.py): Jaccard pairs over
+    documents, keep (a, b) iff each is the other's top-scoring neighbor
+    (ties -> smaller neighbor id) — the matching-constrained conservative
+    merge rule."""
+    from spacy_ann_linker_spark.cluster.matching import mutual_best_pairs
+    from spacy_ann_linker_spark.extras.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    out = mutual_best_pairs(pairs, score_col="jaccard")
+    return out.select("id_a", "id_b", F.round("score", R).alias("score"))
+
+
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-weighted corpus mixing (extras/sampling.temperature_mix,
+    alpha = 0.5 i.e. temperature 2): documents downsampled per lang so
+    expected shares follow n^alpha — deterministic md5-bucket selection,
+    integer-ppm rates (cross-engine exact)."""
+    from spacy_ann_linker_spark.extras.sampling import temperature_mix
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return temperature_mix(docs, "lang", "doc_id", alpha=0.5, target_frac=0.5).select(
+        "doc_id", "lang", "keep_rate_ppm"
+    )
+
+
+def _q_suffix_block_pairs(spark, sf_dir):
+    """Suffix-array blocking (candidates/blocking.suffix_block_pairs,
+    Aizawa & Oyama): part names share color-word TAILS ("... chocolate"),
+    so suffix keys of length >= 8 block records whose heads differ
+    entirely — the head-typo-tolerant key prefix blocking cannot express.
+    Hot suffix blocks (> 30 records) purge before the posting self-join."""
+    from spacy_ann_linker_spark.candidates.blocking import suffix_block_pairs
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_partkey") <= 600
+    )
+    recs = parts.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("text"))
+    return suffix_block_pairs(recs, "id", "text", min_suffix_len=8, max_block_size=30)
 
 
 def _q_cascade_link(spark, sf_dir):
@@ -3810,5 +3882,94 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(length(text), 0.75), 6) AS p75,
                round(quantile_cont(length(text), 0.95), 6) AS p95
         FROM documents GROUP BY source
+        """,
+        # BRUTE-FORCE oracle: a green row certifies the count/position/
+        # length filters lost no pair (exact recall), not just precision
+        "qgram_edit_join": r"""
+        WITH base AS (
+          SELECT min(p_partkey) AS id, lower(trim(p_name)) AS name
+          FROM part GROUP BY lower(trim(p_name))
+        ),
+        planted AS (
+          SELECT id, name FROM base
+          UNION ALL
+          SELECT id + 1000000, 'x' || substring(name, 2)
+          FROM base WHERE id % 7 = 0
+        ),
+        names AS (SELECT min(id) AS id, name AS t FROM planted GROUP BY name)
+        SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.t, b.t) AS distance
+        FROM names a JOIN names b
+          ON a.id < b.id AND abs(length(a.t) - length(b.t)) <= 1
+        WHERE levenshtein(a.t, b.t) <= 1
+        """,
+        "mutual_best_pairs": r"""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents WHERE doc_id < 300
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                                       i -> substring(t, i, 3))) AS g
+          FROM norm
+        ), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+          SELECT id_a AS u, id_b AS v,
+                 shared * 1.0 / (sa.sz + sb.sz - shared) AS s
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE shared * 1.0 / (sa.sz + sb.sz - shared) > 0.2
+        ),
+        sym AS (SELECT u, v, s FROM pairs UNION ALL SELECT v, u, s FROM pairs),
+        best AS (
+          SELECT u, v, s,
+                 row_number() OVER (PARTITION BY u ORDER BY s DESC, v ASC) AS rn
+          FROM sym
+        )
+        SELECT a.u AS id_a, a.v AS id_b, round(a.s, 6) AS score
+        FROM best a JOIN best b ON a.u = b.v AND a.v = b.u
+        WHERE a.rn = 1 AND b.rn = 1 AND a.u < a.v
+        """,
+        "temperature_mix": r"""
+        WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        tot AS (SELECT sum(n) AS total, sum(pow(n, 0.5)) AS z FROM counts),
+        rates AS (
+          SELECT lang,
+                 CAST(round(least(1.0,
+                        0.5 * total * (pow(n, 0.5) / z) / n) * 1000000) AS BIGINT)
+                 AS keep_rate_ppm
+          FROM counts, tot
+        )
+        SELECT d.doc_id, d.lang, r.keep_rate_ppm
+        FROM documents d JOIN rates r USING (lang)
+        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+              < r.keep_rate_ppm
+        """,
+        "suffix_block_pairs": r"""
+        WITH recs AS (
+          SELECT p_partkey AS id,
+                 trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS t
+          FROM part WHERE p_partkey <= 600
+        ),
+        posting AS (
+          SELECT DISTINCT id,
+                 unnest(list_transform(generate_series(1, greatest(length(t) - 7, 0)),
+                                       i -> substring(t, i))) AS suf
+          FROM recs
+        ),
+        keep AS (
+          SELECT suf FROM posting GROUP BY suf
+          HAVING count(*) BETWEEN 2 AND 30
+        ),
+        kept AS (SELECT id, suf FROM posting JOIN keep USING (suf))
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common_suffixes
+        FROM kept a JOIN kept b USING (suf)
+        WHERE a.id < b.id
+        GROUP BY a.id, b.id
         """,
     }

@@ -258,6 +258,10 @@ def run_bench(cpus: int) -> dict:
         "context_window",
         "decayed_priors",
         "contrastive_negatives",
+        "qgram_edit_join",
+        "mutual_best_pairs",
+        "temperature_mix",
+        "suffix_block_pairs",
     ]:
         t0 = time.perf_counter()
         _noop(queries[name](spark, SF_DIR))

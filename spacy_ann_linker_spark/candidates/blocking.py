@@ -278,6 +278,59 @@ def token_block_pairs(
     )
 
 
+def suffix_block_pairs(
+    records: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    min_suffix_len: int = 4,
+    max_block_size: int = 50,
+) -> DataFrame:
+    """Suffix-array blocking (Aizawa & Oyama 2005) — the blocking key that
+    catches HEAD typos, which prefix / sorted-neighborhood blocking
+    structurally cannot ("kristina"/"christina" share no prefix but share
+    the suffixes "ristina".."tina"): every suffix of the normalized value
+    with length >= min_suffix_len is a block key; candidate pairs are
+    records sharing any surviving suffix block.
+
+    Cost is Σ_suffix df² — the posting self-join — so `max_block_size` is
+    the standard suffix-blocking purge rule: blocks bigger than the cap
+    ("...street", "...corp") carry no discrimination and all the quadratic
+    cost, so they are dropped BEFORE the join (the token_block_pairs /
+    max_gram_df discipline; singleton blocks drop too — they cannot pair).
+    Suffix generation is fully IN-ROW (transform over a sequence — no UDF);
+    a record contributes len - min_suffix_len + 1 posting rows, the
+    df filter joins on the same key the self-join shuffles on (no extra
+    shuffle of the posting table), and `n_common_suffixes` comes back as
+    the edge weight for meta-blocking-style pruning downstream.
+    -> (id_a, id_b, n_common_suffixes), id_a < id_b."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    sufs = F.when(
+        F.length(norm) >= min_suffix_len,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (min_suffix_len - 1)),
+            lambda i: norm.substr(i, F.length(norm)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    posting = records.select(
+        F.col(id_col).alias("_id"), F.explode(F.array_distinct(sufs)).alias("suf")
+    )
+    keep = (
+        posting.groupBy("suf")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") <= max_block_size) & (F.col("_df") >= 2))
+        .select("suf")
+    )
+    posting = posting.join(keep, "suf")
+    a = posting.select(F.col("_id").alias("id_a"), "suf")
+    b = posting.select(F.col("_id").alias("id_b"), "suf")
+    return (
+        a.join(b, "suf")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common_suffixes"))
+    )
+
+
 def meta_block_prune(
     pairs: DataFrame,
     method: str = "wep",

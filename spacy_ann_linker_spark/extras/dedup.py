@@ -354,6 +354,133 @@ def edit_distance_pairs(
     )
 
 
+def qgram_edit_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """EXACT-RECALL edit-distance self-join via positional q-gram count
+    filtering (Gravano et al., VLDB'01 "Approximate String Joins in a
+    Database (Almost) for Free") — the recall-GUARANTEED alternative to
+    `edit_distance_pairs`' prefix blocking, which silently misses any pair
+    whose typo falls inside the first prefix_len characters.
+
+    Three provably-necessary filters for ed(a, b) <= k, then exact verify:
+
+      * length:   abs(len_a - len_b) <= k
+      * position: a q-gram of `a` only counts against a q-gram of `b` at
+                  position offset <= k (one edit displaces grams by <= 1)
+      * count:    matching positional q-grams >= max(len) - q + 1 - k*q
+                  (one edit destroys at most q of the len - q + 1 grams)
+
+    survivors verified with Spark's banded `levenshtein(a, b, k)` (O(k*n)
+    early-exit DP, -1 sentinel filtered) — so precision is exact and, by
+    the necessity of each filter, recall is exact too (brute-force parity
+    is the oracle). The candidate join counts ALL cross matches of a
+    duplicated gram (more than the bipartite matching the bound is stated
+    on) — overcounting only ADMITS extra candidates, never drops one.
+
+    Short strings make the count bound vacuous (threshold <= 0 when
+    len <= q - 1 + k*q): they route through a DIRECT length-bucketed pair
+    path against every string of length <= short_max + k (equi-join on an
+    exploded candidate-length column — no inequality join). Safe at scale
+    because the operator contract is DISTINCT values (pre-dedup exact
+    strings, as edit_distance_pairs documents): distinct strings of
+    bounded length are capped by |alphabet|^len — a data-independent
+    bound, not a corpus-sized one.
+
+    Hot-gram shape: the position filter is folded INTO the equi-join key —
+    positions bucket at width k+1, so |pos_a - pos_b| <= k implies the
+    buckets are equal or adjacent, and one side explodes its 3 admissible
+    buckets. A stop-gram like "00" or "e " therefore joins per (gram,
+    bucket), dividing its posting self-join by ~string-length/(k+1)
+    instead of pairing every occurrence against every other — the
+    difference between O(df²·occ²) and O(df²·occ) on long keys (the same
+    reasoning as interval_join's bucketization; the residual |pa-pb| <= k
+    filter keeps exactness, and a (gram-occurrence) pair can match in only
+    ONE of the 3 exploded buckets, so no dedup pass is needed).
+    -> (id_a, id_b, distance), distance <= max_distance, id_a < id_b."""
+    k, ql = max_distance, q
+    base = df.select(
+        F.col(id_col).alias("_id"), F.lower(F.trim(F.col(text_col))).alias("_t")
+    ).withColumn("_len", F.length("_t"))
+    short_max = ql - 1 + k * ql
+
+    # -- long path: positional q-grams + count/position filters ------------
+    long_side = base.filter(F.col("_len") > short_max)
+    t = F.col("_t")
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.col("_len") - (ql - 1)), lambda i: t.substr(i, F.lit(ql))
+    )
+    grams = long_side.select(
+        "_id", "_len", F.posexplode(gram_arr).alias("_p0", "g")
+    ).select("_id", "_len", (F.col("_p0") + 1).alias("pos"), "g")
+    bucket = F.floor((F.col("pos") - 1) / (k + 1))
+    ga = grams.select(
+        F.col("_id").alias("id_a"),
+        F.col("_len").alias("_la"),
+        F.col("pos").alias("_pa"),
+        "g",
+        F.explode(
+            F.array(bucket - 1, bucket.cast("bigint"), bucket + 1)
+        ).alias("_bk"),
+    )
+    gb = grams.select(
+        F.col("_id").alias("id_b"),
+        F.col("_len").alias("_lb"),
+        F.col("pos").alias("_pb"),
+        "g",
+        bucket.cast("bigint").alias("_bk"),
+    )
+    need = F.greatest("_la", "_lb") - F.lit(ql - 1) - F.lit(k * ql)
+    long_cands = (
+        ga.join(gb, ["g", "_bk"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+            & (F.abs(F.col("_pa") - F.col("_pb")) <= k)
+        )
+        .groupBy("id_a", "id_b", "_la", "_lb")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= need)
+        .select("id_a", "id_b")
+    )
+
+    # -- short path: length-bucketed direct pairs --------------------------
+    # a short string's match partner has len <= short_max + k; explode the
+    # probe's admissible lengths so the pair join stays an EQUI-join
+    shorts = base.filter(F.col("_len") <= short_max)
+    probe = shorts.select(
+        F.col("_id").alias("id_a"),
+        F.explode(
+            F.sequence(F.greatest(F.col("_len") - k, F.lit(0)), F.col("_len") + k)
+        ).alias("_lb"),
+    )
+    pool = base.filter(F.col("_len") <= short_max + k).select(
+        F.col("_id").alias("id_b"), F.col("_len").alias("_lb")
+    )
+    short_cands = (
+        probe.join(pool, "_lb")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b"))
+        .distinct()
+    )
+
+    # -- exact verify (both branches are length-disjoint, union is clean) --
+    cands = long_cands.unionByName(short_cands)
+    va = base.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("distance", F.levenshtein("_ta", "_tb", k))
+        .filter(F.col("distance") >= 0)
+        .select("id_a", "id_b", "distance")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 60) -> DataFrame:
     """60-bit SimHash over char n-grams: per-bit majority vote of gram
     hashes (cross-engine _h60, so the whole signature is oracle-exact in

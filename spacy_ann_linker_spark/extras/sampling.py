@@ -164,6 +164,70 @@ def weighted_sample(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.7,
+    target_frac: float = 0.5,
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-weighted corpus mixing — the multilingual / multi-source
+    LM sampling rule (Conneau & Lample 2019; alpha = 1/temperature, XLM-R
+    uses alpha 0.3, T5-style mixes 0.7): downsample each group so the
+    EXPECTED output shares follow p_g ∝ n_g^alpha, flattening the Zipf head
+    (alpha < 1 boosts low-resource groups' share; alpha = 1 keeps natural
+    proportions; alpha = 0 equalizes expected counts). The overall expected
+    output size is target_frac * N; per-group keep rates are
+
+        r_g = min(1, target_frac * N * p_g / n_g)
+
+    — a FILTER, so rates clamp at 1 (no upsampling: a group too small for
+    its temperature share keeps everything; true upsampling is a separate
+    replication step, deliberately not hidden inside a sampler).
+
+    Selection is the deterministic_split contract: row survives iff its
+    md5(seed || key) bucket (mod RESOLUTION) < round(r_g * RESOLUTION) —
+    a pure function of (seed, key, group counts), stable across runs,
+    partitionings, and cluster sizes, and cross-engine exact (the bucket
+    compare is INTEGER; rates round to whole ppm in both engines, so an
+    ulp of pow() divergence cannot flip a row). Plan shape: one map-side
+    group count, one-row corpus aggregate broadcast, rate table broadcast
+    back onto rows (group dims — languages, sources — are small by
+    nature); zero shuffles of the data rows themselves.
+    -> input rows that survive, plus keep_rate_ppm (the group's rate,
+    parts-per-million)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(
+        F.sum("_n").alias("_tot"), F.sum(F.pow("_n", F.lit(alpha))).alias("_z")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(target_frac)
+                    * F.col("_tot")
+                    * (F.pow("_n", F.lit(alpha)) / F.col("_z"))
+                    / F.col("_n"),
+                )
+                * _RESOLUTION,
+                0,
+            )
+            .cast("bigint")
+            .alias("keep_rate_ppm"),
+        )
+    )
+    keyed = F.concat(F.lit(seed), F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("bigint") % _RESOLUTION
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(bucket < F.col("keep_rate_ppm"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     shard_col: str,

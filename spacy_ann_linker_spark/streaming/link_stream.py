@@ -126,6 +126,126 @@ def start_full_link_stream(
     )
 
 
+def start_incremental_er_stream(
+    stream: DataFrame,
+    model,
+    patterns: list[str],
+    links_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    fuzzy_rescue: bool = True,
+    threshold: float = 0.7,
+    query_name: str = "incremental_er_stream",
+):
+    """CONTINUOUS entity resolution over a transcript stream — the composed
+    production loop this engine exists for: every micro-batch runs the full
+    batch linker (extraction, cosine candidates, JW rescue, disambiguation),
+    appends its links idempotently, derives the batch's mention<->entity
+    edges (the cluster_links node encoding: "m:"/"e:" prefixes), and folds
+    them into a PERSISTED (node, component) assignment with cluster
+    contraction (`cluster/cc.py:incremental_components`) — so each batch
+    costs O(batch edges), never O(history): yesterday's 10^10-node
+    clustering is an artifact read once per batch, not re-iterated.
+
+    State versioning: the assignment is parquet under
+    `state_path/v{batch_id}`. foreachBatch can REPLAY a batch on failure, so
+    a replayed batch must (a) find the same predecessor and (b) overwrite
+    only itself: prev = the max version id < batch_id, the batch writes its
+    own v{batch_id} with mode=overwrite, and only versions < prev are pruned
+    AFTER the write commits — the replay of batch B always still sees
+    v(B-1). Links are partitioned by _batch_id with dynamic partition
+    overwrite (the start_full_link_stream idempotency recipe). Paths are
+    local-FS here (the sandbox convention of plans/checkpoint.py); on a
+    cluster they are DFS paths and the prune is an fs.delete.
+
+    Convergence note: component ids are min node ids, and
+    incremental_components keeps ids stable under merges (min-of-mins), so
+    downstream consumers can treat a component id as durable — it only ever
+    changes by two clusters MERGING to the smaller id.
+    Returns the StreamingQuery (caller stops it)."""
+    import os
+    import re
+    import shutil
+
+    from spacy_ann_linker_spark.cluster.cc import incremental_components
+    from spacy_ann_linker_spark.link.linker import link_mentions, memo_scope
+    from spacy_ann_linker_spark.mentions.extract import extract_mentions
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(state_path):
+            return []
+        return sorted(
+            int(m.group(1))
+            for d in os.listdir(state_path)
+            if (m := re.fullmatch(r"v(\d+)", d))
+        )
+
+    def er_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        with memo_scope():
+            mentions = extract_mentions(batch_df, patterns)
+            links = link_mentions(
+                mentions,
+                batch_df,
+                model.kb,
+                model.cand,
+                threshold=threshold,
+                fuzzy_rescue=fuzzy_rescue,
+            )
+            (
+                links.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(links_path)
+            )
+        edges = (
+            spark.read.parquet(links_path)
+            .filter(F.col("_batch_id") == batch_id)
+            .select(
+                F.concat(F.lit("m:"), F.col("text")).alias("src"),
+                F.concat(F.lit("e:"), F.col("entity_id")).alias("dst"),
+            )
+            .distinct()
+        )
+        older = [v for v in _versions() if v < batch_id]
+        if older:
+            prev = spark.read.parquet(os.path.join(state_path, f"v{older[-1]}"))
+        else:
+            prev = spark.createDataFrame([], "node string, component string")
+        state = incremental_components(prev, edges)
+        state.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"v{batch_id}")
+        )
+        # prune strictly-older-than-predecessor versions only — a replay of
+        # THIS batch must still find its predecessor
+        for v in older[:-1]:
+            shutil.rmtree(os.path.join(state_path, f"v{v}"), ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(er_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def latest_er_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Read the newest committed (node, component) assignment written by
+    start_incremental_er_stream (max v{batch_id} under state_path)."""
+    import os
+    import re
+
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(state_path)
+        if (m := re.fullmatch(r"v(\d+)", d))
+    )
+    if not versions:
+        raise FileNotFoundError(f"no state versions under {state_path}")
+    return spark.read.parquet(os.path.join(state_path, f"v{versions[-1]}"))
+
+
 def conversation_state_stream(stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-conversation progress (turns seen, highest turn_idx), updated every

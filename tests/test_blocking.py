@@ -517,3 +517,64 @@ def test_sliding_window_sn_window_validation(spark):
     df = spark.createDataFrame([(1, "a")], "rid int, name string")
     with pytest.raises(ValueError):
         sliding_window_sn_pairs(df, "rid", "name", window=1)
+
+
+def test_suffix_block_pairs_catches_head_typos(spark):
+    from spacy_ann_linker_spark.candidates.blocking import suffix_block_pairs
+
+    df = spark.createDataFrame(
+        [(1, "kristina"), (2, "christina"), (3, "bob")], "id int, text string"
+    )
+    got = {(r.id_a, r.id_b) for r in suffix_block_pairs(df, "id", "text").collect()}
+    assert (1, 2) in got  # share suffixes "ristina".."tina" despite no common prefix
+
+
+def test_suffix_block_pairs_matches_python_reference(spark):
+    import itertools
+    import random
+
+    from spacy_ann_linker_spark.candidates.blocking import suffix_block_pairs
+
+    rng = random.Random(13)
+    rows = [
+        (i, "".join(rng.choice("abcd") for _ in range(rng.randint(0, 10))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    min_len, cap = 3, 8
+
+    def suffixes(t):
+        t = " ".join(t.lower().split())
+        return {t[i:] for i in range(len(t) - min_len + 1)} if len(t) >= min_len else set()
+
+    post = {}
+    for i, t in rows:
+        for s in suffixes(t):
+            post.setdefault(s, set()).add(i)
+    want = {}
+    for s, ids in post.items():
+        if 2 <= len(ids) <= cap:
+            for a, b in itertools.combinations(sorted(ids), 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+    got = {
+        (r.id_a, r.id_b): r.n_common_suffixes
+        for r in suffix_block_pairs(df, "id", "text", min_len, cap).collect()
+    }
+    assert got == want
+
+
+def test_suffix_block_purges_hot_blocks(spark):
+    from spacy_ann_linker_spark.candidates.blocking import suffix_block_pairs
+
+    # 20 records ending in "street": the "street" suffix block (df=20)
+    # exceeds the cap and is purged; unique-tail pairs still form
+    rows = [(i, f"{chr(97 + i)}{chr(97 + i)} street") for i in range(20)]
+    rows += [(100, "qq street"), (101, "zz lane"), (102, "zz lane")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {(r.id_a, r.id_b) for r in suffix_block_pairs(df, "id", "text", 4, 5).collect()}
+    # "q street"/"qq street" records pair through their shared rare suffix
+    assert (16, 100) in got  # "qq street" twice (chr(97+16)='q')
+    assert (101, 102) in got
+    # no pair exists PURELY through the purged hot "street"-suffix blocks:
+    # e.g. (0, 1) ("aa street" vs "bb street") must not pair
+    assert (0, 1) not in got

@@ -332,3 +332,42 @@ def test_contrastive_negatives_draws_k_distinct_when_no_collisions(spark):
     assert set(counts) == set(range(20))
     assert all(c >= 7 for c in counts.values())
     assert sum(1 for c in counts.values() if c == 8) >= 18
+
+
+def test_temperature_mix_expected_shares_and_determinism(spark):
+    from spacy_ann_linker_spark.extras.sampling import temperature_mix
+
+    data = [(i, "big" if i < 1800 else "small") for i in range(2000)]
+    df = spark.createDataFrame(data, "id int, src string")
+    out = temperature_mix(df, "src", "id", alpha=0.3, target_frac=0.5)
+    cnt = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # p ~ n^0.3: big share ~0.66 of T=1000 -> rate ~0.37; small rate clamps at 1
+    assert cnt["small"] == 200  # clamped: keeps everything
+    assert 550 < cnt["big"] < 780  # ~0.37 * 1800 = 666, binomial-ish spread
+    # deterministic + partition invariant: same surviving ids regardless of layout
+    ids1 = {r.id for r in temperature_mix(df.repartition(1), "src", "id", 0.3, 0.5).select("id").collect()}
+    ids16 = {r.id for r in temperature_mix(df.repartition(16), "src", "id", 0.3, 0.5).select("id").collect()}
+    assert ids1 == ids16 == {r.id for r in out.select("id").collect()}
+
+
+def test_temperature_mix_alpha_one_is_uniform_rate(spark):
+    from spacy_ann_linker_spark.extras.sampling import temperature_mix
+
+    data = [(i, "a" if i % 3 else "b") for i in range(900)]
+    df = spark.createDataFrame(data, "id int, src string")
+    out = temperature_mix(df, "src", "id", alpha=1.0, target_frac=0.4)
+    # alpha=1: p_g = n_g/N, so every group's rate is exactly target_frac
+    rates = {r.src: r.keep_rate_ppm for r in out.select("src", "keep_rate_ppm").distinct().collect()}
+    assert set(rates.values()) == {400000}
+
+
+def test_temperature_mix_alpha_zero_equalizes_expected_counts(spark):
+    from spacy_ann_linker_spark.extras.sampling import temperature_mix
+
+    data = [(i, "head" if i < 9000 else "tail") for i in range(10000)]
+    df = spark.createDataFrame(data, "id int, src string")
+    out = temperature_mix(df, "src", "id", alpha=0.0, target_frac=0.2)
+    cnt = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # T=2000 split evenly: head rate 1000/9000, tail rate 1000/1000 -> clamp 1
+    assert cnt["tail"] == 1000
+    assert 850 < cnt["head"] < 1150

@@ -403,3 +403,48 @@ def test_attribution_stream_matches_batch_join(spark, tmp_path):
     # sanity: a click never attributes to a later impression
     for _, its, cts in got:
         assert its <= cts
+
+
+def test_incremental_er_stream_matches_batch_recompute(
+    spark, golden_model, patterns, tmp_path
+):
+    """Continuous ER: after the stream drains, the persisted (node,
+    component) state equals a from-scratch connected_components over ALL
+    accumulated link edges — the incremental contraction lost nothing."""
+    from spacy_ann_linker_spark.cluster.cc import connected_components
+    from spacy_ann_linker_spark.streaming.link_stream import (
+        latest_er_state,
+        start_incremental_er_stream,
+    )
+
+    turns = generate_transcripts(spark, 300)
+    src = str(tmp_path / "turns")
+    turns.repartition(5).write.parquet(src)  # 5 files -> >= 3 micro-batches
+
+    links_path = str(tmp_path / "links")
+    state_path = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_transcript_stream(spark, src, max_files=2)
+    q = start_incremental_er_stream(
+        stream, golden_model, patterns, links_path, state_path, ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = latest_er_state(spark, state_path)
+    all_links = spark.read.parquet(links_path)
+    edges = all_links.select(
+        F.concat(F.lit("m:"), F.col("text")).alias("src"),
+        F.concat(F.lit("e:"), F.col("entity_id")).alias("dst"),
+    ).distinct()
+    want = {
+        (r.node, r.component) for r in connected_components(edges).collect()
+    }
+    got = {(r.node, r.component) for r in state.collect()}
+    assert got == want and len(want) > 0
+    # old state versions were pruned down to the last two at most
+    import os
+
+    assert len([d for d in os.listdir(state_path) if d.startswith("v")]) <= 2

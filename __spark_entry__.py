@@ -869,6 +869,104 @@ def _q_pq_topk(spark, sf_dir):
     return out.select("query_id", "item_id", F.round("score", R).alias("score"), "rank")
 
 
+def _q_ivfpq_topk(spark, sf_dir):
+    """IVFADC composition (extras/similarity_search.ivfpq_topk): coarse IVF
+    probe restriction + ADC over PQ codes of the RESIDUAL x - c(x), score =
+    exact q·c plus the quantized q·r — the FAISS IVFPQ recipe with the
+    seeded (oracle-replayable) centroid/codebook paths."""
+    from spacy_ann_linker_spark.extras.similarity_search import ivfpq_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivfpq_topk(
+        emb, queries, n_centroids=16, nprobe=4, k_neighbors=3, m=4, kcode=8
+    )
+    return out.select(
+        "query_id", "item_id", F.round("score", R).alias("score"), "rank"
+    )
+
+
+def _ivfpq_oracle_sql() -> str:
+    """IVFADC oracle: seeded centroids (16 smallest ids), cosine-argmax
+    assignment, residual r = v - cv, seeded residual codebooks (residuals
+    of the 8 smallest item ids), per-subspace L2-argmin encode, score =
+    dot(q, c) + the four residual subspace dots summed left to right —
+    mirroring the engine's qc + fold addition order exactly."""
+    m, k, dsub, dim = 4, 8, 16, 64
+    l2 = (
+        lambda sub: f"list_sum(list_transform(generate_series(1, {dsub}), "
+        f"i -> (res.r[{sub} * {dsub} + i] - cb.w[i]) * (res.r[{sub} * {dsub} + i] - cb.w[i])))"
+    )
+    dots = " + ".join(
+        f"list_dot_product(q.v[{s * dsub + 1}:{(s + 1) * dsub}], ew.w{s})"
+        for s in range(m)
+    )
+    pivots = ", ".join(
+        f"any_value(CASE WHEN sub = {s} THEN w END) AS w{s}" for s in range(m)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 16),
+        assigned AS (
+          SELECT item_id, cid FROM (
+            SELECT e.vec_id AS item_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_dcos('e.v', 'c.cv')} DESC, c.cid ASC) AS rn
+            FROM e, cents c
+          ) WHERE rn = 1
+        ),
+        res AS (
+          SELECT a.item_id, a.cid,
+                 list_transform(generate_series(1, {dim}), i -> e.v[i] - c.cv[i]) AS r
+          FROM assigned a
+          JOIN e ON e.vec_id = a.item_id
+          JOIN cents c ON c.cid = a.cid
+        ),
+        cbase AS (SELECT item_id AS sid, r FROM res ORDER BY item_id ASC LIMIT {k}),
+        cb AS (
+          SELECT s.sub,
+                 row_number() OVER (PARTITION BY s.sub ORDER BY c.sid) - 1 AS code,
+                 c.r[s.sub * {dsub} + 1 : (s.sub + 1) * {dsub}] AS w
+          FROM cbase c, (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+        ),
+        enc AS (
+          SELECT item_id, cid, sub, code FROM (
+            SELECT res.item_id, res.cid, cb.sub, cb.code,
+                   row_number() OVER (PARTITION BY res.item_id, cb.sub
+                     ORDER BY {l2("cb.sub")} ASC, cb.code ASC) AS rn
+            FROM res, cb
+          ) WHERE rn = 1
+        ),
+        ew AS (
+          SELECT item_id, any_value(cid) AS cid, {pivots}
+          FROM enc JOIN cb USING (sub, code) GROUP BY item_id
+        ),
+        probes AS (
+          SELECT q_id, cid FROM (
+            SELECT q.vec_id AS q_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_dcos('q.v', 'c.cv')} DESC, c.cid ASC) AS rn
+            FROM e q, cents c WHERE q.vec_id < 10
+          ) WHERE rn <= 4
+        ),
+        scored AS (
+          SELECT p.q_id AS query_id, ew.item_id,
+                 list_dot_product(q.v, c.cv) + {dots} AS score
+          FROM probes p
+          JOIN ew ON ew.cid = p.cid
+          JOIN e q ON q.vec_id = p.q_id
+          JOIN cents c ON c.cid = p.cid
+          WHERE ew.item_id <> p.q_id
+        )
+        SELECT query_id, item_id, round(score, 6) AS score, rank FROM (
+          SELECT query_id, item_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, item_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+        """
+
+
 def _pq_oracle_sql() -> str:
     """PQ oracle: codebook = subvectors of the 8 smallest vec_ids, encode
     by per-subspace L2 argmin (elementwise in-order sum, mirroring the
@@ -1671,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_lsh": _q_simhash_lsh,
         "ann_ivf_topk": _q_ivf_topk,
         "ann_pq_topk": _q_pq_topk,
+        "ann_ivfpq_topk": _q_ivfpq_topk,
         "bm25_score": _q_bm25_score,
         "qlm_score": _q_qlm_score,
         "rrf_fusion": _q_rrf_fusion,
@@ -2923,6 +3022,7 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2
         """,
         "ann_pq_topk": _pq_oracle_sql(),
+        "ann_ivfpq_topk": _ivfpq_oracle_sql(),
         "ann_ivf_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 16),

@@ -259,6 +259,7 @@ def run_bench(cpus: int) -> dict:
         "decayed_priors",
         "contrastive_negatives",
         "qgram_edit_join",
+        "ann_ivfpq_topk",
         "mutual_best_pairs",
         "temperature_mix",
         "suffix_block_pairs",

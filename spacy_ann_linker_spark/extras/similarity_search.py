@@ -486,6 +486,7 @@ def pq_encode(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """(id, codes): PQ encoding — per subspace, the L2-nearest codeword id
     (ties -> smallest code). Codes are m small ints per vector: the
@@ -524,11 +525,13 @@ def pq_encode(
             F.col(id_col).alias("item_id"),
             F.col(vec_col).cast("array<double>").alias("_v"),
             dsub.alias("_d"),
+            *keep_cols,
         )
         .crossJoin(F.broadcast(_codebook_array(codebooks)))
         .select(
             "item_id",
             F.array(*[code_for(F.lit(s)) for s in range(m)]).alias("codes"),
+            *keep_cols,
         )
     )
 
@@ -600,6 +603,128 @@ def pq_topk(
     )
     scored = pairs.select(
         F.col("_q")["q_id"].alias("q_id"), "item_id", score.alias("cosine")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("q_id") != F.col("item_id"))
+    out = _topk_per_query(scored, k_neighbors)
+    return out.select("query_id", "item_id", F.col("cosine").alias("score"), "rank")
+
+
+def ivfpq_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k_neighbors: int = 3,
+    m: int = 4,
+    kcode: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_method: str = "seeded",
+    codebook_method: str = "seeded",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVFADC — the FAISS-standard billion-scale ANN composition (Jégou,
+    Douze & Schmid, TPAMI 2011 §IV): a coarse IVF quantizer restricts each
+    query to `nprobe` inverted lists, and WITHIN lists items are scored by
+    asymmetric distance over PQ codes of the RESIDUAL x - c(x) — residual
+    encoding is what makes m*log2(k) bits competitive: residuals live in a
+    much smaller ball than raw vectors, so the same codebook budget spends
+    its resolution where the variance actually is.
+
+    Score decomposition (inner product): q·x ≈ q·c(x) + q·r ≈
+    q·c(x) + Σ_sub LUT_q[sub, code_sub(r)] — the q·c term is exact and
+    shared by every item in the list; only the residual is quantized.
+
+    Scale shape, stage by stage:
+      * assign + residual: `ivf_assign` is a pure projection over the
+        broadcast centroid array (no Exchange over items); the residual
+        subtracts a broadcast-joined centroid vector in-row.
+      * encode: pure projection over the broadcast codebook row — the
+        10^10-item side ends up as (item_id, centroid_id, m codes):
+        m*4 bytes of payload instead of d*4, and item VECTORS never
+        appear again after this stage.
+      * query: probes (queries x nprobe rows) carry the per-query m*k LUT
+        (computed ONCE per query-centroid row set, O(k*d) each) and
+        broadcast onto the encoded lists — the probe equi-join on
+        centroid_id touches only the nprobe/C fraction of the corpus, and
+        each surviving pair costs O(m) lookups plus one add.
+      * top-k: the slim (_topk_per_query) window — ids and scores only.
+    An item lives in exactly one list, so a (query, item) pair can arise
+    from at most one probe — no dedup pass.
+
+    seeded centroid/codebook methods are the deterministic ORACLE path
+    (DuckDB-replayable, the ann_ivf_topk / ann_pq_topk discipline);
+    'kmeans' for both is the quality option. Recall at full probe + full
+    codebook degrades only by quantization — property-tested against
+    brute force. Metric is INNER PRODUCT (pre-normalize for cosine).
+    -> (query_id, item_id, score, rank)."""
+    if centroid_method == "seeded":
+        cents = seeded_centroids(items, n_centroids, id_col, vec_col)
+    else:
+        cents = fit_centroids(items, n_centroids, id_col, vec_col)
+    cvec = cents.select(
+        "centroid_id", F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    assigned = ivf_assign(items, cents, id_col, vec_col)
+    res = assigned.join(F.broadcast(cvec), "centroid_id").select(
+        "item_id",
+        "centroid_id",
+        F.zip_with(
+            F.col("item_v").cast("array<double>"), "_cv", lambda x, y: x - y
+        ).alias("residual"),
+    )
+    cb = fit_pq_codebooks(
+        res, m=m, k=kcode, id_col="item_id", vec_col="residual",
+        method=codebook_method,
+    )
+    enc = pq_encode(
+        res, cb, m=m, k=kcode, id_col="item_id", vec_col="residual",
+        keep_cols=("centroid_id",),
+    )
+
+    # per-(query, probed-centroid) rows with the exact q·c term
+    probes = _probe_centroids(queries, cents, nprobe, id_col, vec_col).join(
+        F.broadcast(cvec), "centroid_id"
+    ).select(
+        "centroid_id",
+        "q_id",
+        F.col("q_v").cast("array<double>").alias("_qv"),
+        dot_product(F.col("q_v").cast("array<double>"), F.col("_cv")).alias("_qc"),
+    )
+    # per-query residual-codebook LUT: lut[sub*k + code] = q_sub · codeword
+    dsub_q = F.floor(F.size("_qv") / m).cast("int")
+    lut_entry = lambda j: F.aggregate(
+        F.zip_with(
+            F.slice(F.col("_qv"), F.floor(j / kcode).cast("int") * F.col("_d") + 1, F.col("_d")),
+            F.element_at(F.col("_cb"), j + 1)["w"],
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    probes_lut = (
+        probes.withColumn("_d", dsub_q)
+        .crossJoin(F.broadcast(_codebook_array(cb)))
+        .select(
+            "centroid_id",
+            "q_id",
+            "_qc",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m * kcode - 1)), lambda j: lut_entry(j)
+            ).alias("_lut"),
+        )
+    )
+    score = F.col("_qc") + F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, sub: acc
+        + F.element_at(
+            F.col("_lut"), sub * F.lit(kcode) + F.element_at(F.col("codes"), sub + 1) + 1
+        ),
+    )
+    scored = enc.join(F.broadcast(probes_lut), "centroid_id").select(
+        "q_id", "item_id", score.alias("cosine")
     )
     if exclude_self:
         scored = scored.filter(F.col("q_id") != F.col("item_id"))

@@ -295,3 +295,72 @@ def test_bucketed_artifact_join_elides_exchanges(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
+
+
+def test_qgram_edit_join_no_cartesian_and_bucketed_key(spark):
+    """The q-gram candidate join must be a hash/merge EQUI-join on
+    (gram, bucket) — never a nested-loop — and the verify must use the
+    banded levenshtein. A cartesian here is the difference between
+    linear-plus-collisions and all-pairs at 10^10 names."""
+    from spacy_ann_linker_spark.extras.dedup import qgram_edit_pairs
+
+    names = (
+        spark.read.parquet(f"{SF}/part.parquet")
+        .groupBy(F.lower(F.trim(F.col("p_name"))).alias("name"))
+        .agg(F.min("p_partkey").alias("id"))
+    )
+    out = qgram_edit_pairs(names, "id", "name", max_distance=1, q=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoop" not in plan, plan[:2000]
+    assert "levenshtein" in plan
+
+
+def test_temperature_mix_data_rows_never_shuffle(spark):
+    """temperature_mix must not exchange the data rows: the group-count agg
+    and one-row corpus stat shuffle TINY aggregates, and the rate table
+    joins back as a broadcast — the fact-table side of the plan is
+    scan -> broadcast-join -> filter."""
+    from spacy_ann_linker_spark.extras.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    out = temperature_mix(docs, "lang", "doc_id", alpha=0.5, target_frac=0.5)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the only SinglePartition exchange is the one-row corpus aggregate;
+    # no hash-partitioned exchange keyed by doc rows feeds the join
+    assert "Exchange hashpartitioning(doc_id" not in plan, plan[:2000]
+
+
+def test_ivfpq_item_side_ships_codes_not_vectors(spark):
+    """After PQ encode, the item-side columns crossing the probe join must
+    be (item_id, centroid_id, codes) — if 'residual' or 'item_v' survives
+    into the join, the 16x compression story is broken and the corpus
+    ships its vectors again."""
+    from spacy_ann_linker_spark.extras.similarity_search import ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    out = ivfpq_topk(emb, emb.filter(F.col("vec_id") < 4), 8, 2, 3, 4, 8)
+    plan = _plan(out)
+    # the only Cross joins are the one-row broadcast-array crossJoins
+    # (centroid array / codebook / LUT collapse) — never a true cartesian
+    assert "CartesianProduct" not in plan
+    # the probe join hashes on centroid_id with the tiny LUT side broadcast
+    assert "BroadcastHashJoin" in plan
+    # the top-k rank is the slim WindowGroupLimit shape, and the rank
+    # exchange (hashpartitioning on q_id) moves only (q_id, item_id, score)
+    # — no vectors, residuals, or codes ride the rank shuffle
+    assert "WindowGroupLimit" in plan
+    rank_exchanges = [
+        blk
+        for blk in plan.split("\n\n")
+        if blk.lstrip().startswith("(")
+        and ") Exchange" in blk.splitlines()[0]
+        and "hashpartitioning(q_id" in blk
+    ]
+    assert rank_exchanges, plan[:3000]
+    for blk in rank_exchanges:
+        assert "residual" not in blk and "item_v" not in blk and "codes" not in blk, blk

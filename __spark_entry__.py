@@ -1203,6 +1203,23 @@ def _q_bm25_score(spark, sf_dir):
     )
 
 
+def _q_bm25_prf(spark, sf_dir):
+    """Rocchio pseudo-relevance feedback (extras/retrieval.bm25_prf_score):
+    first-pass BM25 -> top-3 feedback docs -> top-5 expansion terms by
+    summed BM25 contribution (query terms excluded, TRUE corpus df) ->
+    second pass over the weighted expanded set (originals 1.0, expansion
+    0.5). Feedback/term ranks on 6-dp-rounded scores (the rrf discipline)
+    so the selection reproduces cross-engine."""
+    from spacy_ann_linker_spark.extras.retrieval import bm25_prf_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    out = bm25_prf_score(docs, qs, fb_docs=3, fb_terms=5, beta=0.5)
+    return out.select(
+        "query_id", "doc_id", "n_matched_terms", F.round("score", R).alias("score")
+    )
+
+
 def _q_contrastive_negatives(spark, sf_dir):
     """Deterministic random negatives (extras/sampling.
     contrastive_negatives, DPR-style): probe i of anchor a lands at pool
@@ -1801,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": _q_threshold_sweep,
         "multimodal_decode": _q_multimodal,
         "qgram_edit_join": _q_qgram_edit_join,
+        "bm25_prf_score": _q_bm25_prf,
         "mutual_best_pairs": _q_mutual_best_pairs,
         "temperature_mix": _q_temperature_mix,
         "suffix_block_pairs": _q_suffix_block_pairs,
@@ -3982,6 +4000,84 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(length(text), 0.75), 6) AS p75,
                round(quantile_cont(length(text), 0.95), 6) AS p95
         FROM documents GROUP BY source
+        """,
+        "bm25_prf_score": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             w -> w <> '') AS toks
+          FROM documents
+        ), corpus AS (
+          SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toks
+        ), words AS (
+          SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+          FROM words GROUP BY doc_id, term
+        ), dft AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), q(query_id, query_text) AS (
+          VALUES ('q_joins', 'hash join merge'),
+                 ('q_window', 'window sort order'),
+                 ('q_stream', 'stream batch data')
+        ), qterms AS (
+          SELECT DISTINCT query_id,
+                 unnest(list_filter(regexp_split_to_array(lower(query_text), '\s+'),
+                                    w -> w <> '')) AS term
+          FROM q
+        ), base AS (
+          SELECT query_id, doc_id,
+                 sum(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                 ) AS score
+          FROM tf JOIN qterms USING (term) JOIN dft USING (term) CROSS JOIN corpus
+          GROUP BY query_id, doc_id
+        ), fb AS (
+          SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+            FROM base
+          ) WHERE rn <= 3
+        ), cand AS (
+          SELECT f.query_id, t.term, t.tf, t.dl
+          FROM fb f JOIN tf t USING (doc_id)
+          WHERE NOT EXISTS (
+            SELECT 1 FROM qterms s
+            WHERE s.query_id = f.query_id AND s.term = t.term
+          )
+        ), cw AS (
+          SELECT c.query_id, c.term,
+                 sum(
+                   ln(1.0 + (n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (c.tf * (1.2 + 1.0))
+                   / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * c.dl / avgdl))
+                 ) AS weight
+          FROM cand c JOIN dft d USING (term) CROSS JOIN corpus
+          GROUP BY c.query_id, c.term
+        ), expn AS (
+          SELECT query_id, term, 0.5 AS qweight FROM (
+            SELECT query_id, term,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(weight, 6) DESC, term ASC) AS rn
+            FROM cw
+          ) WHERE rn <= 5
+        ), allq AS (
+          SELECT query_id, term, 1.0 AS qweight FROM qterms
+          UNION ALL
+          SELECT query_id, term, qweight FROM expn
+        )
+        SELECT query_id, doc_id, count(*) AS n_matched_terms,
+               round(sum(
+                 qweight
+                 * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN allq USING (term) JOIN dft USING (term) CROSS JOIN corpus
+        GROUP BY query_id, doc_id
         """,
         # BRUTE-FORCE oracle: a green row certifies the count/position/
         # length filters lost no pair (exact recall), not just precision

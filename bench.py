@@ -260,6 +260,7 @@ def run_bench(cpus: int) -> dict:
         "contrastive_negatives",
         "qgram_edit_join",
         "ann_ivfpq_topk",
+        "bm25_prf_score",
         "mutual_best_pairs",
         "temperature_mix",
         "suffix_block_pairs",

@@ -94,7 +94,21 @@ def bm25_score(
             F.explode(_words(F.col(query_text_col))).alias("term"),
         )
         .distinct()
+        .withColumn("qweight", F.lit(1.0))
     )
+    return _bm25_against_terms(toks, corpus, qterms, k1, b)
+
+
+def _bm25_against_terms(
+    toks: DataFrame, corpus: DataFrame, qterms: DataFrame, k1: float, b: float
+) -> DataFrame:
+    """BM25 core over an explicit weighted term set: qterms is
+    (query_id, term, qweight) — plain queries use weight 1.0 (a *1.0 is
+    IEEE-identity, so bm25_score's output is bit-unchanged by the weight
+    machinery); PRF expansion terms enter with weight beta. toks/corpus are
+    bm25_score's prepared (doc_id, dl, toks) and one-row stats frames."""
+    from pyspark.sql import Window
+
     qset = qterms.select("term").distinct()
 
     # broadcast-filter BEFORE the shuffle: only query-term occurrences
@@ -119,7 +133,8 @@ def bm25_score(
             "query_id",
             "doc_id",
             (
-                F.log(
+                F.col("qweight")
+                * F.log(
                     F.lit(1.0)
                     + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
                 )
@@ -296,3 +311,161 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def rocchio_prf_terms(
+    docs: DataFrame,
+    queries: DataFrame,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_scores: int = 6,
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (Rocchio 1971, the RM/
+    axiomatic-QE shape): run first-pass BM25, take the `fb_docs` top-ranked
+    documents per query as pseudo-relevant, score every term THEY contain
+    by its summed BM25 contribution across the feedback set (idf x tf
+    saturation — what the term would have scored had it been a query term),
+    drop the query's own terms, keep the `fb_terms` best. These are the
+    vocabulary-gap terms ("automobile" for a "car" query) that lexical
+    retrieval misses by construction.
+
+    Determinism (the rrf_fuse discipline): feedback docs rank on
+    round(score, round_scores) with doc_id tie-break, expansion terms on
+    rounded weight with term tie-break — so the selection reproduces
+    exactly wherever p-dp scores do, cross-engine included.
+
+    Plan shape: first-pass BM25 (3 linear shuffles, docs sharing no query
+    term never move) + one corpus re-scan filtered by the broadcast
+    feedback-doc id set (tiny: |Q| x fb_docs) for candidate tf, + one
+    corpus re-scan filtered by the broadcast candidate-term set for true
+    corpus df (the candidate df must be CORPUS df, not feedback-set df —
+    feedback df would score stopwords high). Everything joins by
+    broadcast of query-sized sides; the corpus is scanned, never shuffled
+    whole. -> (query_id, term, weight, rank <= fb_terms)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    corpus = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").cast("double").alias("avgdl"),
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_words(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+
+    base = bm25_score(
+        docs, queries, id_col, text_col, query_id_col, query_text_col, k1, b
+    )
+    w_fb = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", round_scores)), F.asc("doc_id")
+    )
+    fb = (
+        base.withColumn("_r", F.row_number().over(w_fb))
+        .filter(F.col("_r") <= fb_docs)
+        .select("query_id", "doc_id")
+    )
+
+    # candidate (query, term, tf, dl) rows: corpus re-scan pruned by the
+    # broadcast feedback-doc set
+    fbtf = (
+        toks.join(F.broadcast(fb.select("doc_id").distinct()), "doc_id")
+        .select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    cand = (
+        fb.join(fbtf, "doc_id")
+        .join(qterms, ["query_id", "term"], "left_anti")
+    )
+
+    # TRUE corpus df for the candidate terms (one more pruned re-scan)
+    cset = cand.select("term").distinct()
+    cdf = (
+        toks.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .join(F.broadcast(cset), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    weighted = (
+        cand.join(F.broadcast(cdf), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("contrib"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.sum("contrib").alias("weight"))
+    )
+    w_t = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("weight", round_scores)), F.asc("term")
+    )
+    return (
+        weighted.withColumn("rank", F.row_number().over(w_t))
+        .filter(F.col("rank") <= fb_terms)
+        .select("query_id", "term", "weight", "rank")
+    )
+
+
+def bm25_prf_score(
+    docs: DataFrame,
+    queries: DataFrame,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    beta: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_scores: int = 6,
+) -> DataFrame:
+    """Second-pass BM25 with Rocchio expansion: original query terms keep
+    weight 1, the fb_terms pseudo-feedback terms enter at weight `beta`
+    (Rocchio's relevant-centroid coefficient), and every document is
+    rescored against the expanded weighted term set — documents matching
+    only expansion vocabulary now surface (the recall the first pass
+    cannot have). Expansion terms are query-term-disjoint by construction,
+    so the weighted union is collision-free.
+    -> (query_id, doc_id, n_matched_terms, score) over the expanded set."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    corpus = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").cast("double").alias("avgdl"),
+    )
+    orig = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_words(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+        .withColumn("qweight", F.lit(1.0))
+    )
+    exp = rocchio_prf_terms(
+        docs, queries, fb_docs, fb_terms, id_col, text_col,
+        query_id_col, query_text_col, k1, b, round_scores,
+    ).select("query_id", "term", F.lit(float(beta)).alias("qweight"))
+    return _bm25_against_terms(toks, corpus, orig.unionByName(exp), k1, b)

@@ -643,3 +643,98 @@ def test_ranking_metrics_k_cutoff(spark):
     assert row["ndcg_at_k"] == 0.0
     # AP has no cutoff: hit at rank 3, one relevant doc
     assert row["ap"] == pytest.approx(1.0 / 3.0)
+
+
+def test_rocchio_prf_terms_matches_python_reference(spark):
+    """Expansion-term selection replayed in plain python: BM25 first pass,
+    top-2 feedback docs (rounded-score rank, doc tie), candidate terms =
+    feedback vocabulary minus query terms, weight = summed BM25 contribution
+    with TRUE corpus df, top-3 by (rounded weight, term)."""
+    import math
+
+    from spacy_ann_linker_spark.extras.retrieval import rocchio_prf_terms
+
+    corpus = [
+        (1, "hash join merge join strategies for distributed engines"),
+        (2, "the hash join outperforms sort merge join on skewed keys"),
+        (3, "broadcast strategies beat shuffle joins on small dimensions"),
+        (4, "gardening tips for spring tomatoes"),
+        (5, "merge sort is a stable comparison sort"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id int, text string")
+    qs = spark.createDataFrame([("q1", "hash join")], "query_id string, query_text string")
+    got = {
+        (r.query_id, r.term, r.rank): r.weight
+        for r in rocchio_prf_terms(docs, qs, fb_docs=2, fb_terms=3).collect()
+    }
+
+    k1, b = 1.2, 0.75
+    toks = {d: t.lower().split() for d, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for v in toks.values():
+        for t in set(v):
+            df[t] = df.get(t, 0) + 1
+
+    def contrib(t, d):
+        tf = toks[d].count(t)
+        idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[d]) / avgdl))
+
+    qt = {"hash", "join"}
+    base = {d: sum(contrib(t, d) for t in qt if t in toks[d]) for d in toks
+            if any(t in toks[d] for t in qt)}
+    fb = sorted(base, key=lambda d: (-round(base[d], 6), d))[:2]
+    cands = {t for d in fb for t in toks[d]} - qt
+    w = {t: sum(contrib(t, d) for d in fb if t in toks[d]) for t in cands}
+    top = sorted(w, key=lambda t: (-round(w[t], 6), t))[:3]
+    want = {("q1", t, i + 1): w[t] for i, t in enumerate(top)}
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key] - want[key]) < 1e-9
+
+
+def test_bm25_prf_surfaces_expansion_only_docs(spark):
+    """The point of PRF: a doc sharing NO term with the query but matching
+    the expansion vocabulary must appear in the second pass (absent from
+    the first), and original-term matches must keep a weight-1 head start
+    over beta-weighted expansion matches of equal strength."""
+    from spacy_ann_linker_spark.extras.retrieval import bm25_prf_score, bm25_score
+
+    corpus = [
+        (1, "hash join merge join strategies for distributed engines"),
+        (2, "the hash join outperforms sort merge join on skewed keys"),
+        (3, "skewed keys need salting strategies"),  # no query term
+        (4, "gardening tips for spring tomatoes"),
+        (5, "merge sort is a stable comparison sort"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id int, text string")
+    qs = spark.createDataFrame([("q1", "hash join")], "query_id string, query_text string")
+    base_ids = {r.doc_id for r in bm25_score(docs, qs).collect()}
+    # fb_terms=8 reaches past the df=1 head of this tiny corpus down to the
+    # shared terms ("strategies" rank 8, "for" rank 7 — verified ordering)
+    prf = bm25_prf_score(docs, qs, fb_docs=2, fb_terms=8, beta=0.5)
+    prf_ids = {r.doc_id for r in prf.collect()}
+    assert 3 not in base_ids
+    assert 3 in prf_ids  # surfaced through "strategies"
+    assert 4 in prf_ids  # surfaced through "for"
+    assert base_ids < prf_ids
+
+
+def test_bm25_prf_beta_zero_keeps_first_pass_scores(spark):
+    """beta = 0: expansion terms join the match set (n_matched_terms grows)
+    but contribute zero weight — every score equals the first pass where
+    the doc appeared there."""
+    from spacy_ann_linker_spark.extras.retrieval import bm25_prf_score, bm25_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    qs = spark.createDataFrame(
+        [("q1", "hash join merge")], "query_id string, query_text string"
+    )
+    base = {r.doc_id: r.score for r in bm25_score(docs, qs).collect()}
+    prf = {r.doc_id: r.score for r in bm25_prf_score(docs, qs, beta=0.0).collect()}
+    for d, s in base.items():
+        assert abs(prf[d] - s) < 1e-9

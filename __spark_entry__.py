@@ -1291,6 +1291,92 @@ def _pagerank_oracle_sql() -> str:
         """
 
 
+def _q_label_propagation(spark, sf_dir):
+    """Semi-supervised label propagation (extras/graph.label_propagation,
+    Zhu & Ghahramani): every 5th document keeps its lang as a clamped seed,
+    the rest start NULL, and 3 synchronous rounds spread labels across the
+    symmetrized near-dup graph (argmax neighbor support, label-asc ties) —
+    the graph-based weak-supervision labeler. Fixed rounds -> the oracle
+    unrolls them as chained CTEs (the pagerank discipline)."""
+    from spacy_ann_linker_spark.extras.dedup import ngram_jaccard_pairs
+    from spacy_ann_linker_spark.extras.graph import label_propagation
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    seeds = docs.select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("lang")).alias("label"),
+    )
+    out = label_propagation(seeds, edges, n_iter=3)
+    return out.select(F.col("node").alias("doc_id"), "label")
+
+
+def _label_prop_oracle_sql() -> str:
+    """Label-propagation oracle: near-dup edges at jaccard > 0.3, seeds =
+    lang on doc_id % 5 = 0, then 3 synchronous rounds unrolled — support =
+    labeled-neighbor count, winner by (support desc, label asc), seeds
+    clamped, unreached nodes keep NULL."""
+    head = r"""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents WHERE doc_id < 150
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                                       i -> substring(t, i, 3))) AS g
+          FROM norm
+        ), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE shared * 1.0 / (sa.sz + sb.sz - shared) > 0.3
+        ),
+        e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+        seeds AS (
+          SELECT doc_id AS node,
+                 CASE WHEN doc_id % 5 = 0 THEN lang END AS seed_label
+          FROM documents WHERE doc_id < 150
+        ),
+        l0 AS (SELECT node, seed_label AS label FROM seeds)"""
+    its = "".join(
+        f""",
+        sup{i} AS (
+          SELECT e.dst AS node, l.label, count(*) AS sup
+          FROM e JOIN l{i - 1} l ON l.node = e.src
+          WHERE l.label IS NOT NULL
+          GROUP BY e.dst, l.label
+        ),
+        best{i} AS (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                     ORDER BY sup DESC, label ASC) AS rn
+            FROM sup{i}
+          ) WHERE rn = 1
+        ),
+        l{i} AS (
+          SELECT s.node,
+                 coalesce(s.seed_label, b.label, l.label) AS label
+          FROM seeds s
+          JOIN l{i - 1} l USING (node)
+          LEFT JOIN best{i} b USING (node)
+        )"""
+        for i in range(1, 4)
+    )
+    return head + its + """
+        SELECT node AS doc_id, label FROM l3
+        """
+
+
 def _q_contrastive_negatives(spark, sf_dir):
     """Deterministic random negatives (extras/sampling.
     contrastive_negatives, DPR-style): probe i of anchor a lands at pool
@@ -1899,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qgram_edit_join": _q_qgram_edit_join,
         "bm25_prf_score": _q_bm25_prf,
         "pagerank_docs": _q_pagerank_docs,
+        "label_propagation": _q_label_propagation,
         "mutual_best_pairs": _q_mutual_best_pairs,
         "temperature_mix": _q_temperature_mix,
         "suffix_block_pairs": _q_suffix_block_pairs,
@@ -3122,6 +3209,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _pq_oracle_sql(),
         "ann_ivfpq_topk": _ivfpq_oracle_sql(),
         "pagerank_docs": _pagerank_oracle_sql(),
+        "label_propagation": _label_prop_oracle_sql(),
         "ann_ivf_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 16),

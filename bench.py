@@ -262,6 +262,7 @@ def run_bench(cpus: int) -> dict:
         "ann_ivfpq_topk",
         "bm25_prf_score",
         "pagerank_docs",
+        "label_propagation",
         "mutual_best_pairs",
         "temperature_mix",
         "suffix_block_pairs",

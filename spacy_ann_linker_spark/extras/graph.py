@@ -84,3 +84,75 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+    node_col: str = "node",
+    label_col: str = "label",
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    graph-based weak-supervision labeler): seed nodes carry labels, the
+    rest are NULL; for `n_iter` SYNCHRONOUS rounds every unlabeled-at-seed
+    node takes the label with the highest summed (optionally weighted)
+    support among its currently-labeled neighbors — seeds stay CLAMPED.
+    The training-data use case: spread a small set of human labels
+    (language, topic, quality tier) across a near-dup/similarity graph to
+    label the long tail.
+
+    Determinism is the whole design: synchronous updates + a FIXED
+    iteration count + argmax ties broken by label ascending make the
+    result a pure function of (graph, seeds, n_iter) — no convergence
+    wobble, partition-invariant, and the DuckDB oracle just unrolls the
+    rounds as chained CTEs (the pagerank discipline). A node with no
+    labeled neighbor this round keeps its previous assignment (NULL until
+    the frontier reaches it).
+
+    Scale shape per round: one equi-join of the (node, label) vector onto
+    the edge list, one map-side-combined groupBy((node, label)) support
+    sum, one max_by per node — narrow rows throughout; lineage cut per
+    round. Edges are treated as given (symmetrize for undirected graphs).
+    -> (node, label) — label NULL where the graph never reached."""
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    seeds = nodes.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("seed_label")
+    ).localCheckpoint(eager=True)
+    cur = seeds.select("node", F.col("seed_label").alias("label"))
+    for _ in range(n_iter):
+        support = (
+            e.join(
+                cur.filter(F.col("label").isNotNull()).withColumnRenamed(
+                    "node", "src"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").alias("sup"))
+        )
+        # argmax with "then smallest label": min_by over (-support, label)
+        # — labels must be orderable
+        best = support.groupBy("node").agg(
+            F.min_by(
+                F.col("label"), F.struct((-F.col("sup")).alias("ns"), F.col("label"))
+            ).alias("new_label")
+        )
+        cur = (
+            seeds.join(cur.select("node", "label"), "node")
+            .join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(
+                    "seed_label", "new_label", "label"
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cur

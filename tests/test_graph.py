@@ -59,3 +59,96 @@ def test_pagerank_partition_invariance(spark):
         return {(r.node, round(r.rank, 12)) for r in pagerank(d, n_iter=4).collect()}
 
     assert run(df.repartition(1)) == run(df.repartition(16))
+
+
+def _py_label_prop(node_labels, edges, k):
+    """Synchronous reference: clamped seeds, argmax support, label-asc ties,
+    keep previous when no labeled neighbor."""
+    cur = dict(node_labels)
+    seeds = {n: l for n, l in node_labels.items() if l is not None}
+    nbrs = {}
+    for u, v, w in edges:
+        nbrs.setdefault(v, []).append((u, w))
+    for _ in range(k):
+        nxt = {}
+        for n in cur:
+            if n in seeds:
+                nxt[n] = seeds[n]
+                continue
+            sup = {}
+            for u, w in nbrs.get(n, []):
+                if cur.get(u) is not None:
+                    sup[cur[u]] = sup.get(cur[u], 0.0) + w
+            if sup:
+                nxt[n] = min(sup, key=lambda l: (-sup[l], l))
+            else:
+                nxt[n] = cur[n]
+        cur = nxt
+    return cur
+
+
+def test_label_propagation_matches_python_reference(spark):
+    import random
+
+    from spacy_ann_linker_spark.extras.graph import label_propagation
+
+    rng = random.Random(31)
+    n = 30
+    node_labels = {
+        i: (["en", "de", "fr"][i % 3] if i < 6 else None) for i in range(n)
+    }
+    und = list({tuple(sorted(rng.sample(range(n), 2))) for _ in range(80)})
+    edges = []
+    for u, v in und:
+        w = round(rng.random(), 3)
+        edges.append((u, v, w))
+        edges.append((v, u, w))
+    ndf = spark.createDataFrame(list(node_labels.items()), "node int, label string")
+    edf = spark.createDataFrame(edges, "src int, dst int, w double")
+    got = {
+        r.node: r.label
+        for r in label_propagation(ndf, edf, n_iter=3, weight_col="w").collect()
+    }
+    assert got == _py_label_prop(node_labels, edges, 3)
+
+
+def test_label_propagation_seeds_clamped_and_frontier_spreads(spark):
+    from spacy_ann_linker_spark.extras.graph import label_propagation
+
+    # path 0-1-2-3; seeds at the ends with different labels
+    nodes = [(0, "a"), (1, None), (2, None), (3, "b")]
+    edges = [(u, v) for u, v in [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2)]]
+    ndf = spark.createDataFrame(nodes, "node int, label string")
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.label for r in label_propagation(ndf, edf, n_iter=1).collect()}
+    assert got == {0: "a", 1: "a", 2: "b", 3: "b"}
+    # round 2 (synchronous, from round-1 state): node 1 hears {a from 0,
+    # b from 2} and node 2 hears {a from 1, b from 3} — both equal-support
+    # ties resolve to "a" by label-asc; seeds never flip
+    got2 = {r.node: r.label for r in label_propagation(ndf, edf, n_iter=2).collect()}
+    assert got2 == {0: "a", 1: "a", 2: "a", 3: "b"}
+
+
+def test_label_propagation_partition_invariance(spark):
+    import random
+
+    from spacy_ann_linker_spark.extras.graph import label_propagation
+
+    rng = random.Random(9)
+    nodes = [(i, "x" if i < 3 else ("y" if i < 5 else None)) for i in range(25)]
+    edges = []
+    for _ in range(70):
+        u, v = rng.sample(range(25), 2)
+        edges += [(u, v), (v, u)]
+    ndf = spark.createDataFrame(nodes, "node int, label string")
+    edf = spark.createDataFrame(edges, "src int, dst int")
+
+    def run(nd, ed):
+        return {
+            (r.node, r.label)
+            for r in label_propagation(nd, ed, n_iter=3).collect()
+        }
+
+    assert run(ndf.repartition(1), edf.repartition(1)) == run(
+        ndf.repartition(8), edf.repartition(16)
+    )

@@ -42,7 +42,14 @@ def pagerank(
     tiny actions; ranks never collect. Deterministic: fixed iterations,
     no sampling, floating sums under round-at-output tolerance.
     -> (node, rank), sum(rank) == 1."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # materialize the edge list ONCE: every iteration joins against it, and
+    # an upstream pair-generation subtree (an LSH/Jaccard self-join) would
+    # otherwise re-execute per round
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -50,7 +57,9 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
         with_deg = ranks.join(
@@ -81,6 +90,9 @@ def pagerank(
                     * (F.coalesce("inflow", F.lit(0.0)) + F.col("dm") / n)
                 ).alias("rank"),
             )
+            # no explicit repartition: the join already hash-partitions by
+            # node and AQE coalesces small post-shuffle partitions — an
+            # extra exchange per round costs more than it saves
             .localCheckpoint(eager=True)
         )
     return ranks
@@ -119,9 +131,11 @@ def label_propagation(
     round. Edges are treated as given (symmetrize for undirected graphs).
     -> (node, label) — label NULL where the graph never reached."""
     w = F.col(weight_col) if weight_col else F.lit(1.0)
+    # one materialization — the per-round support join must not re-execute
+    # the upstream pair-generation subtree (the pagerank discipline)
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
-    )
+    ).localCheckpoint(eager=True)
     seeds = nodes.select(
         F.col(node_col).alias("node"), F.col(label_col).alias("seed_label")
     ).localCheckpoint(eager=True)

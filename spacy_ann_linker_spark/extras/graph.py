@@ -22,6 +22,7 @@ def pagerank(
     n_iter: int = 5,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a DIRECTED edge list (symmetrize first
     for undirected pair graphs), exactly `n_iter` iterations from the
@@ -34,52 +35,73 @@ def pagerank(
     standard stochastic-matrix completion, so total rank stays 1 every
     iteration (asserted in tests).
 
-    Scale shape per iteration: one equi-join of the rank vector onto the
-    edge list (rank rows are (node, double) — narrow), one map-side-combined
-    groupBy(dst) sum, one one-row dangling aggregate broadcast; lineage is
-    cut per iteration with localCheckpoint (the cc.py round discipline —
-    without it the plan doubles per iteration). Driver work is O(n_iter)
-    tiny actions; ranks never collect. Deterministic: fixed iterations,
-    no sampling, floating sums under round-at-output tolerance.
+    Scale shape per iteration: ONE equi-join of the rank vector onto the
+    deg-carrying edge list (rank rows are (node, double) — narrow), one
+    map-side-combined groupBy(dst) sum, one narrow semi-join aggregate for
+    the dangling mass over the STATIC dangling-node set — the out-degree
+    join happens once before the loop (deg rides the edge list: 8 bytes
+    per edge buys never rebuilding ranks x out_degree twice per round).
+    Lineage is cut per iteration (the cc.py round discipline — without it
+    the plan doubles per iteration); `checkpoint_dir` swaps the
+    unreplicated localCheckpoint blocks for reliable parquet round files
+    (executor-loss-safe, uuid-namespaced per run like cc.py). Driver work
+    is O(n_iter) tiny actions; ranks never collect. Deterministic: fixed
+    iterations, no sampling, floating sums under round-at-output
+    tolerance. An empty edge list returns an empty (node, rank) frame.
     -> (node, rank), sum(rank) == 1."""
+    spark = edges.sparkSession
+    run_dir = None
+    if checkpoint_dir is not None:
+        import uuid
+
+        run_dir = f"{checkpoint_dir.rstrip('/')}/pr_{uuid.uuid4().hex}"
+
+    def _cut(df: DataFrame, tag: str) -> DataFrame:
+        if run_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{run_dir}/{tag}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     # materialize the edge list ONCE: every iteration joins against it, and
     # an upstream pair-generation subtree (an LSH/Jaccard self-join) would
     # otherwise re-execute per round
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e = _cut(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        "edges",
     )
-    nodes = (
+    nodes = _cut(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "nodes",
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=True
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg rides the edge list so each round is ONE join; the dangling-node
+    # SET is static (only its rank mass changes per round)
+    e_deg = _cut(e.join(out_deg, "src"), "edges_deg")
+    dangling_nodes = _cut(
+        nodes.join(
+            out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ),
+        "dangling",
     )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(n_iter):
-        with_deg = ranks.join(
-            out_deg.withColumnRenamed("src", "node"), "node", "left"
-        )
-        dangling = with_deg.filter(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+    for i in range(n_iter):
+        dangling = (
+            ranks.join(dangling_nodes, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         contrib = (
-            e.join(
-                with_deg.filter(F.col("deg").isNotNull()).withColumnRenamed(
-                    "node", "src"
-                ),
-                "src",
-            )
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
+        ranks = _cut(
             nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -89,11 +111,11 @@ def pagerank(
                     + F.lit(damping)
                     * (F.coalesce("inflow", F.lit(0.0)) + F.col("dm") / n)
                 ).alias("rank"),
-            )
+            ),
             # no explicit repartition: the join already hash-partitions by
             # node and AQE coalesces small post-shuffle partitions — an
             # extra exchange per round costs more than it saves
-            .localCheckpoint(eager=True)
+            f"round_{i}",
         )
     return ranks
 
@@ -107,6 +129,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     weight_col: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Semi-supervised label propagation (Zhu & Ghahramani 2002, the
     graph-based weak-supervision labeler): seed nodes carry labels, the
@@ -129,18 +152,39 @@ def label_propagation(
     the edge list, one map-side-combined groupBy((node, label)) support
     sum, one max_by per node — narrow rows throughout; lineage cut per
     round. Edges are treated as given (symmetrize for undirected graphs).
-    -> (node, label) — label NULL where the graph never reached."""
+    -> (node, label) — label NULL where the graph never reached.
+
+    `checkpoint_dir` swaps the per-round localCheckpoint lineage cuts for
+    reliable parquet files (executor-loss-safe; the cc.py contract)."""
+    spark = nodes.sparkSession
+    run_dir = None
+    if checkpoint_dir is not None:
+        import uuid
+
+        run_dir = f"{checkpoint_dir.rstrip('/')}/lp_{uuid.uuid4().hex}"
+
+    def _cut(df: DataFrame, tag: str) -> DataFrame:
+        if run_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{run_dir}/{tag}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     # one materialization — the per-round support join must not re-execute
     # the upstream pair-generation subtree (the pagerank discipline)
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
-    ).localCheckpoint(eager=True)
-    seeds = nodes.select(
-        F.col(node_col).alias("node"), F.col(label_col).alias("seed_label")
-    ).localCheckpoint(eager=True)
+    e = _cut(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")),
+        "edges",
+    )
+    seeds = _cut(
+        nodes.select(
+            F.col(node_col).alias("node"), F.col(label_col).alias("seed_label")
+        ),
+        "seeds",
+    )
     cur = seeds.select("node", F.col("seed_label").alias("label"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         support = (
             e.join(
                 cur.filter(F.col("label").isNotNull()).withColumnRenamed(
@@ -158,7 +202,7 @@ def label_propagation(
                 F.col("label"), F.struct((-F.col("sup")).alias("ns"), F.col("label"))
             ).alias("new_label")
         )
-        cur = (
+        cur = _cut(
             seeds.join(cur.select("node", "label"), "node")
             .join(best, "node", "left")
             .select(
@@ -166,7 +210,7 @@ def label_propagation(
                 F.coalesce(
                     "seed_label", "new_label", "label"
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            f"round_{i}",
         )
     return cur

@@ -152,3 +152,33 @@ def test_label_propagation_partition_invariance(spark):
     assert run(ndf.repartition(1), edf.repartition(1)) == run(
         ndf.repartition(8), edf.repartition(16)
     )
+
+
+def test_pagerank_empty_graph_and_reliable_checkpoints(spark, tmp_path):
+    from spacy_ann_linker_spark.extras.graph import label_propagation, pagerank
+
+    empty = spark.createDataFrame([], "src int, dst int")
+    assert pagerank(empty).count() == 0
+
+    edges = [(i, (i + 1) % 9) for i in range(9)] + [(0, 5), (7, 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    local = {(r.node, round(r.rank, 12)) for r in pagerank(df, n_iter=4).collect()}
+    reliable = {
+        (r.node, round(r.rank, 12))
+        for r in pagerank(df, n_iter=4, checkpoint_dir=str(tmp_path / "pr")).collect()
+    }
+    assert local == reliable
+
+    ndf = spark.createDataFrame(
+        [(i, "a" if i == 0 else None) for i in range(9)], "node int, label string"
+    )
+    lp_local = {
+        (r.node, r.label) for r in label_propagation(ndf, df, n_iter=2).collect()
+    }
+    lp_rel = {
+        (r.node, r.label)
+        for r in label_propagation(
+            ndf, df, n_iter=2, checkpoint_dir=str(tmp_path / "lp")
+        ).collect()
+    }
+    assert lp_local == lp_rel

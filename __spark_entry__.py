@@ -1377,6 +1377,26 @@ def _label_prop_oracle_sql() -> str:
         """
 
 
+def _q_normalize_names(spark, sf_dir):
+    """Canonical ER name keys (functions/normalize.normalize_name): accents
+    folded (pure-JVM translate, per-char pinned to DuckDB strip_accents),
+    lowercased, punctuation to spaces, whitespace collapsed. Accents are
+    PLANTED via identical replace() chains in both engines (the corpus is
+    ASCII), so the fold actually executes."""
+    from spacy_ann_linker_spark.functions.normalize import normalize_name
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    planted = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.replace(
+            F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Çüstomér")),
+            F.lit("000"),
+            F.lit("-Å0"),
+        ).alias("name"),
+    )
+    return planted.select("id", normalize_name("name").alias("name_norm"))
+
+
 def _q_contrastive_negatives(spark, sf_dir):
     """Deterministic random negatives (extras/sampling.
     contrastive_negatives, DPR-style): probe i of anchor a lands at pool
@@ -1986,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prf_score": _q_bm25_prf,
         "pagerank_docs": _q_pagerank_docs,
         "label_propagation": _q_label_propagation,
+        "normalize_names": _q_normalize_names,
         "mutual_best_pairs": _q_mutual_best_pairs,
         "temperature_mix": _q_temperature_mix,
         "suffix_block_pairs": _q_suffix_block_pairs,
@@ -3210,6 +3231,15 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": _ivfpq_oracle_sql(),
         "pagerank_docs": _pagerank_oracle_sql(),
         "label_propagation": _label_prop_oracle_sql(),
+        "normalize_names": r"""
+        SELECT c_custkey AS id,
+               trim(regexp_replace(regexp_replace(
+                 lower(strip_accents(
+                   replace(replace(c_name, 'Customer', 'Çüstomér'),
+                           '000', '-Å0'))),
+                 '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS name_norm
+        FROM customer
+        """,
         "ann_ivf_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 16),

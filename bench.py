@@ -263,6 +263,7 @@ def run_bench(cpus: int) -> dict:
         "bm25_prf_score",
         "pagerank_docs",
         "label_propagation",
+        "normalize_names",
         "mutual_best_pairs",
         "temperature_mix",
         "suffix_block_pairs",

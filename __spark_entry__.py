@@ -1397,6 +1397,27 @@ def _q_normalize_names(spark, sf_dir):
     return planted.select("id", normalize_name("name").alias("name_norm"))
 
 
+def _q_scd2_history(spark, sf_dir):
+    """SCD2 attribute timelines (operators/scd.scd2_history): per user in
+    (ts, event_id) order, runs of unchanged event_type collapse to
+    half-open validity intervals — the entity-attribute-history table
+    asof_join consumes. Epoch-micros output; the nullable valid_to
+    coalesces to -1 on BOTH engines (the pandas NaN-bridge pin)."""
+    from spacy_ann_linker_spark.operators.scd import scd2_history
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = scd2_history(ev, "user_id", "ts", ["event_type"], tie_col="event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "user_id",
+        "event_type",
+        us("valid_from").alias("valid_from_us"),
+        F.coalesce(us("valid_to"), F.lit(-1)).alias("valid_to_us"),
+        "n_events",
+        "is_current",
+    )
+
+
 def _q_contrastive_negatives(spark, sf_dir):
     """Deterministic random negatives (extras/sampling.
     contrastive_negatives, DPR-style): probe i of anchor a lands at pool
@@ -2007,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_docs": _q_pagerank_docs,
         "label_propagation": _q_label_propagation,
         "normalize_names": _q_normalize_names,
+        "scd2_history": _q_scd2_history,
         "mutual_best_pairs": _q_mutual_best_pairs,
         "temperature_mix": _q_temperature_mix,
         "suffix_block_pairs": _q_suffix_block_pairs,
@@ -3231,6 +3253,32 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": _ivfpq_oracle_sql(),
         "pagerank_docs": _pagerank_oracle_sql(),
         "label_propagation": _label_prop_oracle_sql(),
+        "scd2_history": r"""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), isl AS (
+          SELECT *, sum(new_isl) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ), runs AS (
+          SELECT user_id, island,
+                 any_value(event_type) AS event_type,
+                 min(ts) AS valid_from, count(*) AS n_events
+          FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id, event_type,
+               epoch_us(valid_from) AS valid_from_us,
+               coalesce(epoch_us(lead(valid_from) OVER w2), -1) AS valid_to_us,
+               n_events,
+               (lead(valid_from) OVER w2 IS NULL) AS is_current
+        FROM runs
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, island)
+        """,
         "normalize_names": r"""
         SELECT c_custkey AS id,
                trim(regexp_replace(regexp_replace(

@@ -264,6 +264,7 @@ def run_bench(cpus: int) -> dict:
         "pagerank_docs",
         "label_propagation",
         "normalize_names",
+        "scd2_history",
         "mutual_best_pairs",
         "temperature_mix",
         "suffix_block_pairs",

@@ -1,0 +1,72 @@
+"""Type-2 slowly-changing-dimension history — entity attribute timelines.
+
+The ER-pipeline use case: after linkage assigns records to entities, the
+entity's ATTRIBUTES still change over time (a user's segment, a customer's
+address, an agent's active tool). SCD2 is the canonical warehouse encoding
+of that history: one row per (key, unbroken run of identical attribute
+values) with a validity interval — the temporal companion to
+cluster/survivorship.py's point-in-time golden record, and the table shape
+`operators/asof.py` joins against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Collapse an event/snapshot stream into SCD2 validity intervals:
+    per key ordered by (ts, tie), consecutive rows whose TRACKED attributes
+    are all unchanged merge into one interval row
+
+        (key, attrs..., valid_from, valid_to, n_events, is_current)
+
+    valid_from = first ts of the run; valid_to = the NEXT run's valid_from
+    (half-open intervals — the asof_join/interval_join convention), NULL on
+    the current run; is_current marks it. Attribute comparison is
+    NULL-SAFE (NULL -> NULL is "unchanged"; NULL -> value is a change), and
+    `tie_col` pins the order of equal-timestamp events so the island
+    boundaries are a pure function of the data (cross-engine identical).
+
+    Plan shape: gaps-and-islands — ONE window partitioned by key (lag over
+    the tracked attrs + running island sum), one map-side-combined
+    groupBy((key, island)), one more key-partitioned lead() for valid_to.
+    Every window partitions by key: a key's history sorts within its
+    partition only, never globally; 10^10 events cost two key-local sorts
+    and one aggregation."""
+    order = [F.col(ts_col).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    flagged = df.withColumn(
+        "_new",
+        F.when(F.lag(ts_col).over(w).isNull() | changed, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = flagged.groupBy(key_col, "_isl").agg(
+        *[F.first(a).alias(a) for a in attr_cols],
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # order by (valid_from, island): two ADJACENT runs can share a
+    # timestamp when equal-ts events carry different attrs — the island
+    # counter is monotone in event order and breaks the tie exactly
+    w_runs = Window.partitionBy(key_col).orderBy(
+        F.col("valid_from").asc(), F.col("_isl").asc()
+    )
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w_runs))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_isl")
+    )

@@ -1418,6 +1418,35 @@ def _q_scd2_history(spark, sf_dir):
     )
 
 
+def _q_scd2_merge(spark, sf_dir):
+    """Incremental SCD2 merge (operators/scd.scd2_merge): history built
+    from events BEFORE 2024-01-15, the rest folded in as the new batch
+    (a global time cut satisfies the per-key append-only contract
+    trivially). The oracle is the FULL-RECOMPUTE SQL — a green row
+    certifies merge == rebuild end-to-end, the incremental_cc discipline
+    applied to timelines."""
+    from spacy_ann_linker_spark.operators.scd import scd2_history, scd2_merge
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = "2024-01-15 00:00:00"
+    hist = scd2_history(
+        ev.filter(F.col("ts") < cut), "user_id", "ts", ["event_type"], tie_col="event_id"
+    )
+    merged = scd2_merge(
+        hist, ev.filter(F.col("ts") >= cut), "user_id", "ts", ["event_type"],
+        tie_col="event_id",
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return merged.select(
+        "user_id",
+        "event_type",
+        us("valid_from").alias("valid_from_us"),
+        F.coalesce(us("valid_to"), F.lit(-1)).alias("valid_to_us"),
+        "n_events",
+        "is_current",
+    )
+
+
 def _q_contrastive_negatives(spark, sf_dir):
     """Deterministic random negatives (extras/sampling.
     contrastive_negatives, DPR-style): probe i of anchor a lands at pool
@@ -2029,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_label_propagation,
         "normalize_names": _q_normalize_names,
         "scd2_history": _q_scd2_history,
+        "scd2_merge": _q_scd2_merge,
         "mutual_best_pairs": _q_mutual_best_pairs,
         "temperature_mix": _q_temperature_mix,
         "suffix_block_pairs": _q_suffix_block_pairs,
@@ -3254,6 +3284,32 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_docs": _pagerank_oracle_sql(),
         "label_propagation": _label_prop_oracle_sql(),
         "scd2_history": r"""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), isl AS (
+          SELECT *, sum(new_isl) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ), runs AS (
+          SELECT user_id, island,
+                 any_value(event_type) AS event_type,
+                 min(ts) AS valid_from, count(*) AS n_events
+          FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id, event_type,
+               epoch_us(valid_from) AS valid_from_us,
+               coalesce(epoch_us(lead(valid_from) OVER w2), -1) AS valid_to_us,
+               n_events,
+               (lead(valid_from) OVER w2 IS NULL) AS is_current
+        FROM runs
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, island)
+        """,
+        "scd2_merge": r"""
         WITH flagged AS (
           SELECT user_id, event_id, ts, event_type,
                  CASE WHEN lag(ts) OVER w IS NULL

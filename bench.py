@@ -265,6 +265,7 @@ def run_bench(cpus: int) -> dict:
         "label_propagation",
         "normalize_names",
         "scd2_history",
+        "scd2_merge",
         "mutual_best_pairs",
         "temperature_mix",
         "suffix_block_pairs",

@@ -41,7 +41,22 @@ def scd2_history(
     Every window partitions by key: a key's history sorts within its
     partition only, never globally; 10^10 events cost two key-local sorts
     and one aggregation."""
-    order = [F.col(ts_col).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    return _scd2_runs(df, key_col, ts_col, attr_cols, tie_col, None)
+
+
+def _scd2_runs(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tie_col: str | None,
+    weight_col: str | None,
+) -> DataFrame:
+    """Island pass shared by scd2_history and scd2_merge; weight_col lets a
+    SEED row stand in for a whole prior run (n_events = sum of weights)."""
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tie_col).asc_nulls_first()] if tie_col else []
+    )
     w = Window.partitionBy(key_col).orderBy(*order)
     changed = F.lit(False)
     for a in attr_cols:
@@ -54,10 +69,13 @@ def scd2_history(
     ).withColumn(
         "_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+    n_events = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col).cast("bigint")
+    )
     runs = flagged.groupBy(key_col, "_isl").agg(
         *[F.first(a).alias(a) for a in attr_cols],
         F.min(ts_col).alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
+        n_events.alias("n_events"),
     )
     # order by (valid_from, island): two ADJACENT runs can share a
     # timestamp when equal-ts events carry different attrs — the island
@@ -70,3 +88,63 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("_isl")
     )
+
+
+def scd2_merge(
+    history: DataFrame,
+    new_events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Fold a NEW event batch into an existing SCD2 history WITHOUT
+    replaying it — the production append loop (the incremental_components
+    discipline applied to timelines): yesterday's 10^10-interval table is
+    an artifact; today's batch must cost O(batch).
+
+    Contract (append-only): each key's new events arrive at
+    ts >= that key's current valid_from — the streaming/warehouse-merge
+    case; out-of-order WITHIN the batch is fine (the tie column pins equal
+    timestamps), but events older than the current interval belong to a
+    history rebuild, not a merge.
+
+    Shape: keys untouched by the batch pass through with zero window work
+    (one anti-join scan). For touched keys, only the CURRENT interval
+    re-enters the island pass — as a single SEED row carrying its
+    valid_from, attributes and n_events as weight, so an unchanged-attr
+    first event EXTENDS the current run (same valid_from, n_events
+    accumulates) and a changed one closes it at exactly the new event's
+    ts. Closed historical intervals of touched keys are immutable and
+    union through. Equality with a full scd2_history recompute over
+    (implied old events ∪ batch) is property-tested.
+    -> same schema as scd2_history."""
+    touched = new_events.select(F.col(key_col)).distinct()
+    untouched = history.join(touched, key_col, "left_anti")
+    closed = history.join(touched, key_col, "left_semi").filter(
+        ~F.col("is_current")
+    )
+    cur = history.join(touched, key_col, "left_semi").filter(F.col("is_current"))
+
+    w1 = F.lit(1).alias("_w")
+    batch = new_events.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(a) for a in attr_cols],
+        *( [F.col(tie_col)] if tie_col else [] ),
+        w1,
+    )
+    seed = cur.select(
+        F.col(key_col),
+        F.col("valid_from").alias(ts_col),
+        *[F.col(a) for a in attr_cols],
+        # NULL tie sorts FIRST (asc_nulls_first): at an exactly-equal
+        # timestamp the seed row stays the run opener
+        *( [F.lit(None).cast(batch.schema[tie_col].dataType).alias(tie_col)]
+           if tie_col else [] ),
+        F.col("n_events").alias("_w"),
+    )
+    recomputed = _scd2_runs(
+        seed.unionByName(batch), key_col, ts_col, attr_cols, tie_col, "_w"
+    )
+    return untouched.unionByName(closed).unionByName(recomputed)

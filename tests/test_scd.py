@@ -94,3 +94,64 @@ def test_scd2_partition_invariance(spark):
         }
 
     assert run(df.repartition(1)) == run(df.repartition(16))
+
+
+def test_scd2_merge_equals_full_recompute(spark):
+    """The whole merge contract: split a random event stream per key at its
+    time midpoint, build history from part 1, merge part 2 — rows equal a
+    full scd2_history over everything (intervals, counts, currency)."""
+    from spacy_ann_linker_spark.operators.scd import scd2_history, scd2_merge
+
+    rng = random.Random(41)
+    rows = [
+        (rng.randrange(6), _ts(rng.randrange(120)), i, rng.choice("abc"))
+        for i in range(300)
+    ]
+    # per-key time split: part2 only has events at ts >= part1's max ts
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r[0], []).append(r)
+    part1, part2 = [], []
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: (r[1], r[2]))
+        cut = len(rs) // 2
+        part1 += rs[:cut]
+        part2 += rs[cut:]
+    schema = "k int, ts timestamp, e int, attr string"
+    d_all = spark.createDataFrame(rows, schema)
+    d1 = spark.createDataFrame(part1, schema)
+    d2 = spark.createDataFrame(part2, schema)
+
+    hist = scd2_history(d1, "k", "ts", ["attr"], tie_col="e")
+    merged = scd2_merge(hist, d2, "k", "ts", ["attr"], tie_col="e")
+    want = scd2_history(d_all, "k", "ts", ["attr"], tie_col="e")
+
+    def rows_of(df):
+        return {
+            (r.k, r.attr, r.valid_from, r.valid_to, r.n_events, r.is_current)
+            for r in df.collect()
+        }
+
+    assert rows_of(merged) == rows_of(want)
+
+
+def test_scd2_merge_brand_new_and_untouched_keys(spark):
+    from spacy_ann_linker_spark.operators.scd import scd2_history, scd2_merge
+
+    d1 = spark.createDataFrame(
+        [(1, _ts(0), 0, "a"), (2, _ts(0), 1, "x")], "k int, ts timestamp, e int, attr string"
+    )
+    hist = scd2_history(d1, "k", "ts", ["attr"], tie_col="e")
+    # key 1 extends unchanged; key 3 is brand new; key 2 untouched
+    d2 = spark.createDataFrame(
+        [(1, _ts(5), 2, "a"), (3, _ts(7), 3, "z")], "k int, ts timestamp, e int, attr string"
+    )
+    merged = {
+        (r.k, r.attr, r.valid_from, r.valid_to, r.n_events, r.is_current)
+        for r in scd2_merge(hist, d2, "k", "ts", ["attr"], tie_col="e").collect()
+    }
+    assert merged == {
+        (1, "a", _ts(0), None, 2, True),   # extended in place, count grew
+        (2, "x", _ts(0), None, 1, True),   # untouched passthrough
+        (3, "z", _ts(7), None, 1, True),   # new key
+    }

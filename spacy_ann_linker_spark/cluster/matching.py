@@ -47,7 +47,13 @@ def mutual_best_pairs(
     -> (id_a, id_b, score), id_a < id_b, each id appearing at most once
     across the whole result (matching property, asserted in tests)."""
     canon = (
-        pairs.select(
+        pairs.filter(
+            F.col(id_a).isNotNull()
+            & F.col(id_b).isNotNull()
+            & (F.col(id_a) != F.col(id_b))  # a self-pair would win its own
+            # best slot and silently unmatch the node from real partners
+        )
+        .select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
             F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
             F.col(score_col).cast("double").alias("s"),
@@ -62,6 +68,10 @@ def mutual_best_pairs(
             F.struct((-F.col("s")).alias("ns"), F.col("v")),
         ).alias("_b")
     ).select("u", F.col("_b.v").alias("v"), F.col("_b.s").alias("s"))
+    # materialize once: `back` is a projection of `best`, and without the
+    # cut the self-join would execute the whole upstream pair-generation
+    # subtree (often an LSH/Jaccard self-join) twice
+    best = best.localCheckpoint(eager=True)
     back = best.select(F.col("u").alias("v"), F.col("v").alias("u"))
     return (
         best.join(back, ["u", "v"])

@@ -16,6 +16,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+
+
+def _make_cut(spark, checkpoint_dir: str | None, prefix: str):
+    """The cc.py lineage-cut contract, shared by the iterative graph
+    operators: localCheckpoint by default, uuid-namespaced reliable
+    parquet round files when checkpoint_dir is given."""
+    run_dir = None
+    if checkpoint_dir is not None:
+        import uuid
+
+        run_dir = f"{checkpoint_dir.rstrip('/')}/{prefix}_{uuid.uuid4().hex}"
+
+    def _cut(df: DataFrame, tag: str) -> DataFrame:
+        if run_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{run_dir}/{tag}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    return _cut
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -25,8 +47,9 @@ def pagerank(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a DIRECTED edge list (symmetrize first
-    for undirected pair graphs), exactly `n_iter` iterations from the
-    uniform start 1/N:
+    for undirected pair graphs; PARALLEL EDGES ARE DEDUPED — multiplicity
+    does not weight the walk, pre-aggregate to a weighted variant if it
+    should), exactly `n_iter` iterations from the uniform start 1/N:
 
         rank'(v) = (1 - d) / N + d * (sum over in-neighbors u of
                    rank(u) / out_degree(u)  +  dangling_mass / N)
@@ -49,20 +72,7 @@ def pagerank(
     iterations, no sampling, floating sums under round-at-output
     tolerance. An empty edge list returns an empty (node, rank) frame.
     -> (node, rank), sum(rank) == 1."""
-    spark = edges.sparkSession
-    run_dir = None
-    if checkpoint_dir is not None:
-        import uuid
-
-        run_dir = f"{checkpoint_dir.rstrip('/')}/pr_{uuid.uuid4().hex}"
-
-    def _cut(df: DataFrame, tag: str) -> DataFrame:
-        if run_dir is None:
-            return df.localCheckpoint(eager=True)
-        path = f"{run_dir}/{tag}"
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-
+    _cut = _make_cut(edges.sparkSession, checkpoint_dir, "pr")
     # materialize the edge list ONCE: every iteration joins against it, and
     # an upstream pair-generation subtree (an LSH/Jaccard self-join) would
     # otherwise re-execute per round
@@ -156,20 +166,7 @@ def label_propagation(
 
     `checkpoint_dir` swaps the per-round localCheckpoint lineage cuts for
     reliable parquet files (executor-loss-safe; the cc.py contract)."""
-    spark = nodes.sparkSession
-    run_dir = None
-    if checkpoint_dir is not None:
-        import uuid
-
-        run_dir = f"{checkpoint_dir.rstrip('/')}/lp_{uuid.uuid4().hex}"
-
-    def _cut(df: DataFrame, tag: str) -> DataFrame:
-        if run_dir is None:
-            return df.localCheckpoint(eager=True)
-        path = f"{run_dir}/{tag}"
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-
+    _cut = _make_cut(nodes.sparkSession, checkpoint_dir, "lp")
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     # one materialization — the per-round support join must not re-execute
     # the upstream pair-generation subtree (the pagerank discipline)

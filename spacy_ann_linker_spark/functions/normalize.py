@@ -19,13 +19,13 @@ from pyspark.sql import functions as F
 #: every covered character; ø/æ/œ/ß excluded on both sides (not diacritics)
 _ACCENT_SRC = (
     "áéíóúàèìòùâêîôûäëïöüãõñçýÿ"
-    "ÁÉÍÓÚÀÈÌÒÙÂÊÎÔÛÄËÏÖÜÃÕÑÇÝ"
+    "ÁÉÍÓÚÀÈÌÒÙÂÊÎÔÛÄËÏÖÜÃÕÑÇÝŸ"
     "åāēīōūšžčćśźżńğ"
     "ÅĀĒĪŌŪŠŽČĆŚŹŻŃĞ"
 )
 _ACCENT_DST = (
     "aeiouaeiouaeiouaeiouaoncyy"
-    "AEIOUAEIOUAEIOUAEIOUAONCY"
+    "AEIOUAEIOUAEIOUAEIOUAONCYY"
     "aaeiouszccszzng"
     "AAEIOUSZCCSZZNG"
 )

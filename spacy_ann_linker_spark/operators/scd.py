@@ -63,7 +63,10 @@ def _scd2_runs(
         changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
     flagged = df.withColumn(
         "_new",
-        F.when(F.lag(ts_col).over(w).isNull() | changed, F.lit(1)).otherwise(
+        # first-row test via lag of a CONSTANT: lag(ts) IS NULL would also
+        # fire on the row AFTER a NULL-timestamp event and split an
+        # unchanged run
+        F.when(F.lag(F.lit(1)).over(w).isNull() | changed, F.lit(1)).otherwise(
             F.lit(0)
         ),
     ).withColumn(
@@ -103,11 +106,17 @@ def scd2_merge(
     discipline applied to timelines): yesterday's 10^10-interval table is
     an artifact; today's batch must cost O(batch).
 
-    Contract (append-only): each key's new events arrive at
-    ts >= that key's current valid_from — the streaming/warehouse-merge
-    case; out-of-order WITHIN the batch is fine (the tie column pins equal
-    timestamps), but events older than the current interval belong to a
-    history rebuild, not a merge.
+    Contract (append-only, STRICT): each key's new events arrive at
+    (ts, tie) >= that key's LAST ALREADY-MERGED event — not merely inside
+    the current interval. The seed row collapses the current run to its
+    valid_from, so a batch event that interleaves BETWEEN two prior events
+    of the run (or ties with one at the same ts with a smaller tie) cannot
+    reproduce the rebuild's run splits. A global time cut, a per-key
+    high-watermark, or monotone event ids all satisfy this; anything
+    earlier belongs to a history rebuild. Out-of-order WITHIN the batch is
+    fine (the tie column pins equal timestamps). Merge == rebuild is both
+    property-tested and driver-gate-checked against the full-recompute
+    oracle under this contract.
 
     Shape: keys untouched by the batch pass through with zero window work
     (one anti-join scan). For touched keys, only the CURRENT interval
@@ -121,10 +130,12 @@ def scd2_merge(
     -> same schema as scd2_history."""
     touched = new_events.select(F.col(key_col)).distinct()
     untouched = history.join(touched, key_col, "left_anti")
-    closed = history.join(touched, key_col, "left_semi").filter(
-        ~F.col("is_current")
-    )
-    cur = history.join(touched, key_col, "left_semi").filter(F.col("is_current"))
+    # ONE semi-join, filter-split into immutable closed rows vs the current
+    # row that seeds the island pass (two filters over the same subtree —
+    # history is a columnar artifact table, rescans are scans, not shuffles)
+    touched_hist = history.join(touched, key_col, "left_semi")
+    closed = touched_hist.filter(~F.col("is_current"))
+    cur = touched_hist.filter(F.col("is_current"))
 
     w1 = F.lit(1).alias("_w")
     batch = new_events.select(

@@ -87,3 +87,14 @@ def test_bipartite_one_to_one(spark):
     lefts = [a for a, _ in got]
     rights = [b for _, b in got]
     assert len(set(lefts)) == len(lefts) and len(set(rights)) == len(rights)
+
+
+def test_self_pairs_and_nulls_ignored(spark):
+    """A self-pair must not win a node's best slot (it would silently
+    unmatch the node from real partners), and NULL ids drop."""
+    pairs = spark.createDataFrame(
+        [(1, 1, 0.99), (1, 2, 0.9), (2, 1, 0.9), (None, 3, 0.8)],
+        "id_a int, id_b int, score double",
+    )
+    got = {(r.id_a, r.id_b, r.score) for r in mutual_best_pairs(pairs).collect()}
+    assert got == {(1, 2, 0.9)}

@@ -155,3 +155,15 @@ def test_scd2_merge_brand_new_and_untouched_keys(spark):
         (2, "x", _ts(0), None, 1, True),   # untouched passthrough
         (3, "z", _ts(7), None, 1, True),   # new key
     }
+
+
+def test_scd2_null_timestamp_does_not_split_runs(spark):
+    """A NULL-ts event sorts first; the row after it must not be forced
+    onto a new island when attrs are unchanged."""
+    rows = [(1, None, 0, "a"), (1, _ts(5), 1, "a"), (1, _ts(9), 2, "b")]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, e int, attr string")
+    out = sorted(
+        scd2_history(df, "k", "ts", ["attr"], tie_col="e").collect(),
+        key=lambda r: (r.valid_from is not None, r.valid_from or _ts(0)),
+    )
+    assert [(r.attr, r.n_events) for r in out] == [("a", 2), ("b", 1)]

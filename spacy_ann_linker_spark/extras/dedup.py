@@ -223,6 +223,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    join_partitions: int | None = None,
 ) -> DataFrame:
     """EXACT word-token Jaccard self-join via prefix filtering (AllPairs,
     Bayardo et al. WWW'07) — the exact-recall scale path between the two
@@ -240,11 +241,29 @@ def prefix_filter_jaccard_pairs(
     discipline of vectorize/tfidf.py), joined back and re-assembled to an
     ordered in-row array (docs×tokens rows through one join + one groupBy
     — the same cost TF-IDF fit pays, paid once); candidate generation
-    explodes ONLY the prefix slice; the length filter
-    min >= t*max prunes before the pair groupBy; verification folds exact
-    Jaccard in-row with array_intersect over pair-sized rows (the
-    lsh_verified pattern). Never all-pairs, no false negatives
-    (brute-force parity is property-tested).
+    explodes ONLY the prefix slice, with each posting row CARRYING its
+    doc's ordered token array — so the prefix self-join both generates a
+    candidate and hands verification its inputs in the same row. The
+    length filter min >= t*max and the exact in-row Jaccard
+    (array_intersect/array_union) then run map-side in the join stage, and
+    the only post-join exchange is a distinct over the SURVIVORS
+    (threshold-selective), not over the raw candidate multiset. This
+    replaces the former verify shape — distinct over all candidates, then
+    two id-keyed hash joins back to the token arrays — which shuffled the
+    (often millions-deep) candidate set three times and re-executed the
+    ordered-token subtree once per join side. Never all-pairs, no false
+    negatives (brute-force parity is property-tested).
+
+    join_partitions (None = sparkContext.defaultParallelism, i.e. total
+    cluster cores): both prefix-posting sides are hash-partitioned on the
+    join key at this EXPLICIT count before the self-join. The posting
+    table's shuffle bytes are tiny relative to the join's OUTPUT (an
+    exploding join: candidate rows >> posting rows), so byte-based AQE
+    coalescing would otherwise shrink the probe stage to a handful of
+    tasks and serialize the whole candidate-verification workload;
+    explicit partitioning keeps the explosion spread across the cluster,
+    and because it is the exact exchange the equi-join needs anyway, it
+    costs nothing extra at scale.
 
     Float guard: ceil(t*L) and the length filter subtract 1e-9 before
     ceil/compare, so IEEE round-up (e.g. 0.3*10 -> 3.0000000000000004) can
@@ -282,11 +301,27 @@ def prefix_filter_jaccard_pairs(
         F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
     ).cast("int")
     pre = ordered.select(
-        "doc_id", "sz", F.explode(F.slice("toks", 1, prefix_len)).alias("ptok")
+        "doc_id", "sz", "toks", F.explode(F.slice("toks", 1, prefix_len)).alias("ptok")
     )
-    a = pre.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("_sza"), "ptok")
-    b = pre.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("_szb"), "ptok")
-    cands = (
+    nparts = join_partitions or df.sparkSession.sparkContext.defaultParallelism
+    a = pre.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sz").alias("_sza"),
+        F.col("toks").alias("_ta"),
+        "ptok",
+    ).repartition(nparts, "ptok")
+    b = pre.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sz").alias("_szb"),
+        F.col("toks").alias("_tb"),
+        "ptok",
+    ).repartition(nparts, "ptok")
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| over distinct-element arrays: the sizes
+    # already ride the row, so the second per-row set build (array_union)
+    # is pure waste at candidate volume
+    union = F.col("_sza") + F.col("_szb") - inter
+    return (
         a.join(b, "ptok")
         .filter(
             (F.col("id_a") < F.col("id_b"))
@@ -295,19 +330,10 @@ def prefix_filter_jaccard_pairs(
                 >= F.lit(threshold) * F.greatest("_sza", "_szb") - F.lit(1e-9)
             )
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    ta = ordered.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("_ta"))
-    tb = ordered.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("_tb"))
-    inter = F.size(F.array_intersect("_ta", "_tb"))
-    union = F.size(F.array_union("_ta", "_tb"))
-    return (
-        cands.join(ta, "id_a")
-        .join(tb, "id_b")
         .withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
+        .distinct()
     )
 
 
@@ -976,6 +1002,7 @@ def prefix_filter_cosine_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.7,
+    join_partitions: int | None = None,
 ) -> DataFrame:
     """EXACT idf-weighted cosine self-join via L2 prefix filtering — the
     weighted companion of prefix_filter_jaccard_pairs (AllPairs, Bayardo
@@ -999,9 +1026,21 @@ def prefix_filter_cosine_pairs(
     aggregate-over-slice (O(k^2) per record in its distinct-token count k
     — fine for names/titles/docs up to a few hundred distinct tokens).
 
-    Verification folds the exact dot product in-row: candidates re-join
-    the (token -> weight) maps and fold array_intersect with element_at —
-    pair-sized rows, pure JVM. -> (id_a, id_b, cosine), cosine >=
+    Verification folds the exact dot product in-row INSIDE the candidate
+    join stage: each prefix posting row carries its record's (token ->
+    normalized-weight) map, so the equi-join on prefix tokens hands the
+    dot product both operands map-side (array_intersect over the map keys
+    folded with element_at — pure JVM, no re-join), and the only
+    post-join exchange is a distinct over the threshold survivors. This
+    replaces the former shape — distinct over the raw candidate multiset,
+    then two id-keyed joins back to the weight maps — which shuffled the
+    candidate set three times and re-executed the ranked-token subtree
+    once per join side. join_partitions (None = defaultParallelism)
+    hash-partitions both posting sides on the join key explicitly — the
+    prefix_filter_jaccard_pairs exploding-join discipline: byte-based AQE
+    coalescing cannot see that candidate output >> posting input and
+    would serialize the verify onto a couple of tasks.
+    -> (id_a, id_b, cosine), cosine >=
     threshold, id_a < id_b. Empty-token records are excluded."""
     t2 = threshold * threshold
     toks = df.select(
@@ -1057,35 +1096,38 @@ def prefix_filter_cosine_pairs(
             lambda i: F.lit(1.0) - cum_i(i) >= F.lit(t2) - F.lit(1e-9),
         )
     )
-    pre = vecs.withColumn(
-        "_p", F.least(F.col("sz"), need + F.lit(1))
-    ).select("doc_id", F.explode(F.slice("toks", F.lit(1), F.col("_p"))).alias("ptok"))
-    a = pre.select(F.col("doc_id").alias("id_a"), "ptok")
-    b = pre.select(F.col("doc_id").alias("id_b"), "ptok")
-    cands = (
-        a.join(b, "ptok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    pre = (
+        vecs.withColumn("_p", F.least(F.col("sz"), need + F.lit(1)))
+        .select(
+            "doc_id",
+            "toks",
+            F.map_from_arrays("toks", "wn").alias("wm"),
+            F.explode(F.slice("toks", F.lit(1), F.col("_p"))).alias("ptok"),
+        )
     )
-    side = vecs.select(
-        "doc_id", "toks", F.map_from_arrays("toks", "wn").alias("wm")
-    )
-    va = side.select(
-        F.col("doc_id").alias("id_a"), F.col("toks").alias("_ta"), F.col("wm").alias("_ma")
-    )
-    vb = side.select(
-        F.col("doc_id").alias("id_b"), F.col("toks").alias("_tb"), F.col("wm").alias("_mb")
-    )
+    nparts = join_partitions or df.sparkSession.sparkContext.defaultParallelism
+    a = pre.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("_ta"),
+        F.col("wm").alias("_ma"),
+        "ptok",
+    ).repartition(nparts, "ptok")
+    b = pre.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("_tb"),
+        F.col("wm").alias("_mb"),
+        "ptok",
+    ).repartition(nparts, "ptok")
     dot = F.aggregate(
         F.array_intersect("_ta", "_tb"),
         F.lit(0.0),
         lambda acc, tok: acc + F.element_at("_ma", tok) * F.element_at("_mb", tok),
     )
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        a.join(b, "ptok")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", dot)
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
+        .distinct()
     )

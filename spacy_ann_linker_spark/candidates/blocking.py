@@ -72,6 +72,7 @@ def lsh_pairs(
     num_hashes: int = 24,
     bands: int = 12,
     alias_keys: DataFrame | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """(text, alias) candidate pairs whose 3-gram minhash bands collide.
 
@@ -81,18 +82,28 @@ def lsh_pairs(
     table (CandidateModel.alias_band_keys) instead of re-running the
     signature groupBys every call; passing both is rejected rather than
     silently ignoring `aliases` (a stale alias_keys from a DIFFERENT alias
-    table would yield wrong candidate pairs with no error)."""
+    table would yield wrong candidate pairs with no error).
+
+    dedup=False returns the raw collision multiset (one row per colliding
+    band) — for callers that union several blocking keys and pay ONE
+    distinct over the union instead of one per block source
+    (_sims_blocked); the default keeps the set contract."""
     if (aliases is None) == (alias_keys is None):
         raise ValueError("lsh_pairs: pass exactly one of aliases / alias_keys")
     t = minhash_band_keys(texts, "text", num_hashes, bands)
     a = alias_keys if alias_keys is not None else minhash_band_keys(
         aliases, "alias", num_hashes, bands
     )
-    return t.join(a, ["band", "bucket"]).select("text", "alias").distinct()
+    out = t.join(a, ["band", "bucket"]).select("text", "alias")
+    return out.distinct() if dedup else out
 
 
 def sorted_neighborhood_pairs(
-    texts: DataFrame, aliases: DataFrame, prefix_len: int = 3, salt_buckets: int = 0
+    texts: DataFrame,
+    aliases: DataFrame,
+    prefix_len: int = 3,
+    salt_buckets: int = 0,
+    dedup: bool = True,
 ) -> DataFrame:
     """(text, alias) pairs sharing a lowercase prefix block — the
     sorted-neighborhood component: catches suffix-heavy typos that LSH's
@@ -108,19 +119,23 @@ def sorted_neighborhood_pairs(
     string) and replicates the per-batch text side into all buckets — the
     operators/salted.py pattern the 1-char JW rescue join uses
     (link/linker.py); pair set is identical either way (skew test asserts
-    it on a Zipf-hot block)."""
+    it on a Zipf-hot block).
+
+    dedup=False returns the raw block-join multiset (the lsh_pairs
+    union-of-blocks contract: callers pay one distinct over the combined
+    candidate stream instead of one per source)."""
     t = texts.withColumn("_bk", F.lower(F.substring("text", 1, prefix_len)))
     a = aliases.withColumn("_bk", F.lower(F.substring("alias", 1, prefix_len)))
     if salt_buckets > 0:
         from spacy_ann_linker_spark.operators.salted import salted_join
 
-        return (
-            salted_join(big=a, small=t, key="_bk", salt_buckets=salt_buckets,
-                        salt_source="alias")
-            .select("text", "alias")
-            .distinct()
-        )
-    return t.join(a, "_bk").select("text", "alias").distinct()
+        out = salted_join(
+            big=a, small=t, key="_bk", salt_buckets=salt_buckets,
+            salt_source="alias",
+        ).select("text", "alias")
+        return out.distinct() if dedup else out
+    out = t.join(a, "_bk").select("text", "alias")
+    return out.distinct() if dedup else out
 
 
 def sliding_window_sn_pairs(

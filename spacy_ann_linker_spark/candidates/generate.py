@@ -143,16 +143,22 @@ def _sims_blocked(
         sorted_neighborhood_pairs,
     )
 
+    # both block sources emit their raw candidate multisets and the union
+    # pays ONE distinct — the per-source distincts were two extra
+    # full exchanges of the pair stream for a set the final distinct
+    # recomputes anyway
     pairs = (
         lsh_pairs(
             rest,
             num_hashes=num_hashes,
             bands=bands,
             alias_keys=model.alias_band_keys(num_hashes, bands),
+            dedup=False,
         )
         .unionByName(
             sorted_neighborhood_pairs(
-                rest, model.aliases, prefix_len, salt_buckets=prefix_salt_buckets
+                rest, model.aliases, prefix_len,
+                salt_buckets=prefix_salt_buckets, dedup=False,
             )
         )
         .distinct()

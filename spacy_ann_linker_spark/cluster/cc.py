@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    # NOTE: returns a MULTISET (<= 2|E| rows, duplicates where several
+    # neighbors re-point to the same min) — the one distinct per round runs
+    # at the end of _small_star, whose output is the round's edge set; a
+    # distinct here too was a full extra exchange per round for a set the
+    # next aggregation absorbs anyway (min/groupBy are duplicate-insensitive)
     nbrs = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = nbrs.groupBy("src").agg(F.min("dst").alias("_mn"))
     mins = mins.select("src", F.least(F.col("src"), F.col("_mn")).alias("m"))
@@ -29,7 +34,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         nbrs.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -92,22 +96,18 @@ def connected_components_long(
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     e = _cut(e, 0)
 
-    # size each round's MATERIALIZED output (the localCheckpoint block
-    # count) to the edge count — target ~500k edges per partition, capped at
-    # the session setting. Note the limited reach: the joins/aggregations
-    # inside _large_star/_small_star still shuffle at the session-wide
-    # spark.sql.shuffle.partitions (AQE's post-shuffle coalescing is what
-    # absorbs their empty-task overhead on small graphs); what the explicit
-    # repartition buys is right-sized checkpoint blocks and next-round scan
-    # tasks, WITHOUT mutating session-global conf (which would leak the
-    # clamped value into any concurrent job on the same session — streaming
-    # micro-batches, parallel checkpoint stages).
-    n0 = e.count()
-    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = max(4, min(session_parts, n0 // 500_000 + 4))
+    # round outputs are materialized at whatever partitioning the final
+    # distinct's AQE-coalesced exchange produced — size-adaptive by
+    # construction (small graphs coalesce to a handful of blocks, large
+    # ones keep ~advisory-sized partitions). An explicit per-round
+    # repartition(parts, "src") used to follow the distinct purely to
+    # right-size checkpoint blocks: a full extra exchange of the edge set
+    # EVERY round that AQE's byte-based coalescing already handles, and
+    # whose hash partitioning the next round immediately destroys (the
+    # large-star union re-keys by both endpoints).
     prev = None
     for i in range(max_iter):
-        e = _cut(_small_star(_large_star(e)).repartition(parts, "src"), i + 1)
+        e = _cut(_small_star(_large_star(e)), i + 1)
         cur = _checksum(e)
         if cur == prev:
             break

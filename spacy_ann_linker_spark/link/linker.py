@@ -403,6 +403,12 @@ def link_mentions(
     # consumers (candidate expansion, turns semi-join) scan the materialized
     # blocks instead of recomputing the similarity join or dragging its plan
     # into every task binary (J8 memo semantics)
+    want_truncate = use_blocking if truncate_memos is None else truncate_memos
+    # with fuzzy_rescue on, best_aliases already cut the deep candidate
+    # subtree at its OWN pre-rescue memo; what remains above it (anti-join +
+    # broadcast JW rescue + union) is shallow, so a second eager
+    # localCheckpoint pass here would only re-materialize bytes the persist
+    # below captures anyway
     mam = _materialize_memo(
         best_aliases(
             model,
@@ -418,7 +424,7 @@ def link_mentions(
             broadcast_exact_aliases=broadcast_exact_aliases,
             memo_checkpoint_dir=memo_checkpoint_dir,
         ),
-        truncate=use_blocking if truncate_memos is None else truncate_memos,
+        truncate=want_truncate and not fuzzy_rescue,
         reliable_dir=memo_checkpoint_dir,
     )
 

@@ -93,6 +93,8 @@ def transform(
     exactly the reference's empty-vector pruning F2/F3
     (candidate_generator.py:129-146,168-216): downstream left joins keep the
     document with no candidates rather than crashing."""
+    from pyspark.sql import Window
+
     tc = _term_counts(df, id_col, text_col)
     vocab = model.vocab.select("ngram", "idx", "idf")
     if broadcast_vocab:
@@ -102,8 +104,15 @@ def transform(
         F.col("idx"),
         (F.col("tf") * F.col("idf")).alias("w"),
     )
-    norms = weighted.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
-    return (
-        weighted.join(norms, id_col)
-        .select(F.col(id_col), "idx", (F.col("w") / F.col("norm")).alias("weight"))
+    # L2 norm as a WINDOW over the document id, not a groupBy + self-join:
+    # the window keeps the lineage linear (one exchange by id, each vector
+    # row flows once), where the join shape branched `weighted` into two
+    # consumers — a second exchange and, absent runtime exchange reuse, a
+    # re-execution of the ngram explode/groupBy subtree (the retrieval.py
+    # df-window discipline). Same arithmetic, same rows.
+    norm = F.sqrt(
+        F.sum(F.col("w") * F.col("w")).over(Window.partitionBy(id_col))
+    )
+    return weighted.select(
+        F.col(id_col), "idx", (F.col("w") / norm).alias("weight")
     )

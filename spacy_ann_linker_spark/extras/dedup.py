@@ -58,27 +58,50 @@ def char_ngrams_col(text_col, n: int = 3):
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    join_partitions: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (id_a < id_b) with
     jaccard > threshold. Inverted-index self-join: |A ∩ B| via groupBy on
-    shared grams, |A ∪ B| = |A| + |B| - |A ∩ B|."""
+    shared grams, |A ∪ B| = |A| + |B| - |A ∩ B|.
+
+    Each posting row carries its doc's gram-set size (one window over the
+    posting table, not a separate sizes aggregate joined back to the pair
+    stream twice — that shape re-executed the gram subtree per join side
+    and re-shuffled the pair stream by each id). Both posting sides are
+    hash-partitioned on the gram at an explicit count (join_partitions,
+    None = defaultParallelism) — the prefix_filter_jaccard_pairs
+    exploding-join discipline: candidate output >> posting input, so
+    byte-based AQE coalescing would serialize the pair aggregation onto a
+    couple of tasks."""
+    from pyspark.sql import Window
+
     grams = df.select(
         F.col(id_col).alias("doc_id"), F.explode(char_ngrams_col(F.col(text_col), n)).alias("g")
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = grams.select(F.col("doc_id").alias("id_a"), "g")
-    b = grams.select(F.col("doc_id").alias("id_b"), "g")
+    ).withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    nparts = join_partitions or df.sparkSession.sparkContext.defaultParallelism
+    a = grams.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "g"
+    ).repartition(nparts, "g")
+    b = grams.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "g"
+    ).repartition(nparts, "g")
     inter = (
         a.join(b, "g")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
         )
@@ -960,32 +983,36 @@ def overlap_containment_pairs(
     doc-id order stay id_a < id_b).
 
     Scale shape: identical to ngram_jaccard_pairs — inverted-index
-    self-join on shared grams + one pair groupBy; quadratic only PER SHARED
+    self-join on shared grams + one pair groupBy (sizes ride the posting
+    rows via one window, explicit join partitioning spreads the exploding
+    probe; see ngram_jaccard_pairs); quadratic only PER SHARED
     GRAM, with the same LSH escape hatch at corpus scale. -> (id_a, id_b,
     contained_id, overlap), overlap > threshold, id_a < id_b."""
+    from pyspark.sql import Window
+
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(char_ngrams_col(F.col(text_col), n)).alias("g"),
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = grams.select(F.col("doc_id").alias("id_a"), "g")
-    b = grams.select(F.col("doc_id").alias("id_b"), "g")
+    ).withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    a = grams.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "g"
+    ).repartition(nparts, "g")
+    b = grams.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "g"
+    ).repartition(nparts, "g")
     inter = (
         a.join(b, "g")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
     )
     return (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"),
-            "id_b",
-        )
-        .withColumn("overlap", F.col("shared") / F.least("sz_a", "sz_b"))
+        inter.withColumn("overlap", F.col("shared") / F.least("sz_a", "sz_b"))
         .filter(F.col("overlap") > F.lit(threshold))
         .withColumn(
             "contained_id",

@@ -348,8 +348,6 @@ def rocchio_prf_terms(
     feedback df would score stopwords high). Everything joins by
     broadcast of query-sized sides; the corpus is scanned, never shuffled
     whole. -> (query_id, term, weight, rank <= fb_terms)."""
-    from pyspark.sql import Window
-
     toks = docs.select(
         F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("toks")
     ).select("doc_id", F.size("toks").alias("dl"), "toks")
@@ -364,9 +362,28 @@ def rocchio_prf_terms(
         )
         .distinct()
     )
+    return _rocchio_terms(toks, corpus, qterms, fb_docs, fb_terms, k1, b, round_scores)
 
-    base = bm25_score(
-        docs, queries, id_col, text_col, query_id_col, query_text_col, k1, b
+
+def _rocchio_terms(
+    toks: DataFrame,
+    corpus: DataFrame,
+    qterms: DataFrame,
+    fb_docs: int,
+    fb_terms: int,
+    k1: float,
+    b: float,
+    round_scores: int,
+) -> DataFrame:
+    """rocchio_prf_terms core over PREPARED (toks, corpus, qterms) frames —
+    shared with bm25_prf_score so the tokenize/stats/query-term subtrees
+    are built once per plan instead of once per phase (the first-pass BM25
+    runs through _bm25_against_terms on the same frames; a *1.0 weight is
+    IEEE-identity, so base scores are bit-identical to bm25_score)."""
+    from pyspark.sql import Window
+
+    base = _bm25_against_terms(
+        toks, corpus, qterms.withColumn("qweight", F.lit(1.0)), k1, b
     )
     w_fb = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("score", round_scores)), F.asc("doc_id")
@@ -456,16 +473,20 @@ def bm25_prf_score(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").cast("double").alias("avgdl"),
     )
-    orig = (
+    qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.explode(_words(F.col(query_text_col))).alias("term"),
         )
         .distinct()
-        .withColumn("qweight", F.lit(1.0))
     )
-    exp = rocchio_prf_terms(
-        docs, queries, fb_docs, fb_terms, id_col, text_col,
-        query_id_col, query_text_col, k1, b, round_scores,
+    orig = qterms.withColumn("qweight", F.lit(1.0))
+    # expansion terms from the SAME prepared toks/corpus/qterms frames —
+    # the former call back through rocchio_prf_terms(docs, queries)
+    # re-derived all three (and its internal first pass re-derived them
+    # again via bm25_score), multiplying the tokenize subtree through the
+    # plan ~8x
+    exp = _rocchio_terms(
+        toks, corpus, qterms, fb_docs, fb_terms, k1, b, round_scores
     ).select("query_id", "term", F.lit(float(beta)).alias("qweight"))
     return _bm25_against_terms(toks, corpus, orig.unionByName(exp), k1, b)

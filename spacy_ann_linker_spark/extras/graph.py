@@ -72,30 +72,35 @@ def pagerank(
     iterations, no sampling, floating sums under round-at-output
     tolerance. An empty edge list returns an empty (node, rank) frame.
     -> (node, rank), sum(rank) == 1."""
+    from pyspark.sql import Window
+
     _cut = _make_cut(edges.sparkSession, checkpoint_dir, "pr")
-    # materialize the edge list ONCE: every iteration joins against it, and
-    # an upstream pair-generation subtree (an LSH/Jaccard self-join) would
-    # otherwise re-execute per round
-    e = _cut(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
-        "edges",
+    # materialize the edge list ONCE, deg already riding it: every
+    # iteration joins against it, and an upstream pair-generation subtree
+    # (an LSH/Jaccard self-join) would otherwise re-execute per round.
+    # out_degree is a window over src on the deduped edges — one exchange
+    # in the same cut job, where the former groupBy + join-back shape cost
+    # a second eager cut (the edges-then-edges_deg pair) before the loop
+    # could start
+    e_deg = _cut(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src"))),
+        "edges_deg",
     )
     nodes = _cut(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
         .distinct(),
         "nodes",
     )
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # deg rides the edge list so each round is ONE join; the dangling-node
-    # SET is static (only its rank mass changes per round)
-    e_deg = _cut(e.join(out_deg, "src"), "edges_deg")
+    # the dangling-node SET is static (only its rank mass changes per round)
     dangling_nodes = _cut(
         nodes.join(
-            out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+            e_deg.select(F.col("src").alias("node")), "node", "left_anti"
         ),
         "dangling",
     )

@@ -1214,7 +1214,8 @@ def _q_bm25_prf(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
-    out = bm25_prf_score(docs, qs, fb_docs=3, fb_terms=5, beta=0.5)
+    out = bm25_prf_score(docs, qs, fb_docs=3, fb_terms=5, beta=0.5,
+                         truncate_plan=True)
     return out.select(
         "query_id", "doc_id", "n_matched_terms", F.round("score", R).alias("score")
     )

@@ -942,8 +942,14 @@ def strip_duplicate_spans(
             lambda s: (s["span_start"] <= i) & (i <= s["span_end"]),
         )
     ) > 0
+    # guard the sequence like clean_text below: sequence(1, 0) defaults to
+    # step -1 and yields [1, 0], so an empty/whitespace-only doc grew two
+    # phantom kept indices and reported n_removed = -2 (ADVICE r5)
     kept_idx = F.filter(
-        F.sequence(F.lit(1), F.size("_toks")), lambda i: ~covered(i)
+        F.when(
+            F.size("_toks") >= 1, F.sequence(F.lit(1), F.size("_toks"))
+        ).otherwise(F.array().cast("array<int>")),
+        lambda i: ~covered(i),
     )
     return (
         base.join(spans, "doc_id", "left")

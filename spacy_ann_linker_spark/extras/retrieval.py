@@ -374,12 +374,22 @@ def _rocchio_terms(
     k1: float,
     b: float,
     round_scores: int,
+    truncate: bool = False,
 ) -> DataFrame:
     """rocchio_prf_terms core over PREPARED (toks, corpus, qterms) frames —
     shared with bm25_prf_score so the tokenize/stats/query-term subtrees
     are built once per plan instead of once per phase (the first-pass BM25
     runs through _bm25_against_terms on the same frames; a *1.0 weight is
-    IEEE-identity, so base scores are bit-identical to bm25_score)."""
+    IEEE-identity, so base scores are bit-identical to bm25_score).
+
+    truncate=True eagerly localCheckpoints the two query-sized decision
+    tables each referenced twice downstream — fb (|Q| x fb_docs rows, but
+    its lineage is the whole first-pass BM25 + rank window) and cand
+    (feedback-doc terms, carrying a corpus re-scan) — so neither subtree
+    executes once per consumer. The guide's truncate-the-plan trade:
+    tiny unreplicated checkpoint blocks (an executor loss re-runs the
+    query) in exchange for not re-running a corpus pass per reference;
+    default False keeps the function fully lazy."""
     from pyspark.sql import Window
 
     base = _bm25_against_terms(
@@ -393,6 +403,8 @@ def _rocchio_terms(
         .filter(F.col("_r") <= fb_docs)
         .select("query_id", "doc_id")
     )
+    if truncate:
+        fb = fb.localCheckpoint(eager=True)
 
     # candidate (query, term, tf, dl) rows: corpus re-scan pruned by the
     # broadcast feedback-doc set
@@ -406,6 +418,8 @@ def _rocchio_terms(
         fb.join(fbtf, "doc_id")
         .join(qterms, ["query_id", "term"], "left_anti")
     )
+    if truncate:
+        cand = cand.localCheckpoint(eager=True)
 
     # TRUE corpus df for the candidate terms (one more pruned re-scan)
     cset = cand.select("term").distinct()
@@ -457,6 +471,7 @@ def bm25_prf_score(
     k1: float = 1.2,
     b: float = 0.75,
     round_scores: int = 6,
+    truncate_plan: bool = False,
 ) -> DataFrame:
     """Second-pass BM25 with Rocchio expansion: original query terms keep
     weight 1, the fb_terms pseudo-feedback terms enter at weight `beta`
@@ -465,6 +480,16 @@ def bm25_prf_score(
     only expansion vocabulary now surface (the recall the first pass
     cannot have). Expansion terms are query-term-disjoint by construction,
     so the weighted union is collision-free.
+
+    truncate_plan=True eagerly localCheckpoints the query-sized decision
+    tables (feedback docs + candidate terms inside the Rocchio pass, and
+    the |Q| x fb_terms expansion table itself, which the second pass
+    references twice): the whole first-pass/expansion machinery then
+    executes exactly once instead of once per downstream reference
+    (measured ~25% off the operator at sf0.1). Identical rows either way;
+    default False keeps full laziness (checkpoint blocks are unreplicated
+    — the cc.py caveat — and the tables are query-sized, so re-running on
+    executor loss is cheap).
     -> (query_id, doc_id, n_matched_terms, score) over the expanded set."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("toks")
@@ -487,6 +512,9 @@ def bm25_prf_score(
     # again via bm25_score), multiplying the tokenize subtree through the
     # plan ~8x
     exp = _rocchio_terms(
-        toks, corpus, qterms, fb_docs, fb_terms, k1, b, round_scores
+        toks, corpus, qterms, fb_docs, fb_terms, k1, b, round_scores,
+        truncate=truncate_plan,
     ).select("query_id", "term", F.lit(float(beta)).alias("qweight"))
+    if truncate_plan:
+        exp = exp.localCheckpoint(eager=True)
     return _bm25_against_terms(toks, corpus, orig.unionByName(exp), k1, b)

@@ -43,6 +43,18 @@ def get_spark(
         # measured: size-first coalescing (16m advisory) capped the 800k-turn
         # argmax shuffle at ~7 partitions and flattened core-count scaling
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalescing apply to CACHED/persisted plans too (default
+        # false for output-partitioning compatibility only): the link
+        # path's memo tables (distinct mentions, mention_alias_map) are
+        # tiny, and without this they materialize at the static
+        # shuffle-partition count — every downstream stage then inherits
+        # 2x-cores empty tasks per memo (measured: a union of four memo
+        # branches ran 256 tasks over 6k rows; the cold exact link carried
+        # 5.6s of inter-job scheduling for 58 jobs). On a real cluster the
+        # same memos would otherwise cache as hundreds of near-empty
+        # blocks. Consumers here never rely on cached output partitioning
+        # (memos join by broadcast).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -63,12 +63,19 @@ def _term_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def fit(aliases_df: DataFrame, id_col: str = "alias_id", text_col: str = "alias", min_df: int = 2) -> TfidfModel:
     """Fit the vocab table over the alias corpus. Fully lazy (N is a scalar
-    subquery via cross join with a 1-row aggregate, not a driver count)."""
-    tc = _term_counts(aliases_df, id_col, text_col)
+    subquery via cross join with a 1-row aggregate, not a driver count).
+
+    df(g) = #docs containing g needs only each document's DISTINCT gram
+    set, so the fit explodes array_distinct(ngrams) and counts rows per
+    gram directly — ONE map-side-combined exchange, where routing through
+    _term_counts first paid a (doc, ngram) groupBy exchange (the full
+    term-frequency table) purely to throw the tf column away."""
     n_docs = aliases_df.agg(F.count(F.lit(1)).alias("n_docs"))
     vocab = (
-        tc.groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("df"))  # tc is distinct per (doc, ngram)
+        with_ngrams(aliases_df, text_col, "ngrams")
+        .select(F.explode(F.array_distinct("ngrams")).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= F.lit(min_df))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(

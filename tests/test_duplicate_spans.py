@@ -129,3 +129,17 @@ def test_containment_tie_sizes_pick_lower_id(spark):
     row = overlap_containment_pairs(df, "doc_id", "text", threshold=0.5).collect()[0]
     assert (row["id_a"], row["id_b"], row["contained_id"]) == (7, 9, 7)
     assert row["overlap"] == pytest.approx(1.0)
+
+
+def test_strip_spans_empty_and_whitespace_docs_remove_nothing(spark):
+    # sequence(1, 0) defaults to step -1 and yields [1, 0]: without the
+    # kept_idx guard an empty/whitespace-only doc grew two phantom kept
+    # indices and reported n_removed = -2 (ADVICE r5)
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, ""), (3, "   ")], "doc_id int, text string"
+    )
+    by = {r["doc_id"]: r for r in strip_duplicate_spans(df, "doc_id", "text", k=2).collect()}
+    assert (by[2]["n_tokens"], by[2]["n_removed"], by[2]["clean_text"]) == (0, 0, "")
+    assert (by[3]["n_tokens"], by[3]["n_removed"], by[3]["clean_text"]) == (0, 0, "")
+    for r in by.values():
+        assert 0 <= r["n_removed"] <= r["n_tokens"]

@@ -3284,6 +3284,15 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": _ivfpq_oracle_sql(),
         "pagerank_docs": _pagerank_oracle_sql(),
         "label_propagation": _label_prop_oracle_sql(),
+        # NOTE (ADVICE r5, pinned assumption): these two oracles detect
+        # first-rows with `lag(ts) OVER w IS NULL`, while the engine
+        # (operators/scd.py) deliberately uses lag-of-a-constant so a
+        # NULL-timestamp event cannot split an unchanged run. The two
+        # agree because events.parquet carries NO NULL ts (and DuckDB
+        # NULLS LAST vs Spark NULLS FIRST in the ASC order would also
+        # only diverge on NULL ts). If NULL-ts events ever enter the
+        # fixture, mirror the engine here: lag(1) OVER w IS NULL plus an
+        # explicit NULLS FIRST on ts.
         "scd2_history": r"""
         WITH flagged AS (
           SELECT user_id, event_id, ts, event_type,

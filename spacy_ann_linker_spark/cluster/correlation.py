@@ -186,9 +186,15 @@ def canopy_assign(
         listed, and q's own remover admits it (tight implies loose since
         the thresholds cut one score column).
 
-    Every point lands in >= 1 canopy (its remover's — tight edge, or
-    itself when it centers), matching the sequential guarantee; equality
-    with a direct sequential reference is pytest-pinned. Requires
+    Every point WITH AT LEAST ONE LOOSE EDGE lands in >= 1 canopy (its
+    remover's — tight edge, or itself when it centers), matching the
+    sequential guarantee over that universe; equality with a direct
+    sequential reference is pytest-pinned. Scope note (ADVICE r5): the
+    node universe here is derived from the loose edge list, so a node
+    whose every input pair scores below t_loose has no output row —
+    sequential canopy over an explicit point list would instead make it a
+    singleton center. Union such isolates in as (node, node) rows if the
+    caller's point universe is wider than the loose graph. Requires
     t_tight >= t_loose. -> (node, canopy) rows, OVERLAPPING by design
     (one row per membership; centers appear in their own canopy)."""
     if t_tight < t_loose:

@@ -35,7 +35,14 @@ def global_row_number(
     Callers pick the granularity: each bucket is one window partition, so
     split until the hottest bucket fits a reducer (a longer string prefix,
     a smaller integer divisor). `order_cols` must be a TOTAL order (append
-    a unique id) — ties would make the rank nondeterministic."""
+    a unique id) — ties would make the rank nondeterministic.
+
+    PRECONDITION (ADVICE r5): bucket and order keys must be NON-NULL. A
+    NULL bucket never equi-joins back on `_gb`, so its rows silently drop
+    from the output while their group count still inflates every larger
+    bucket's offset — ranks are then neither dense nor 1-based (and
+    downstream pmod-probe consumers like contrastive_negatives would
+    target nonexistent ranks). Filter or coalesce NULL keys first."""
     keyed = df.withColumn("_gb", bucket)
     wb = Window.partitionBy("_gb").orderBy(*order_cols)
     rn = keyed.withColumn("_grn", F.row_number().over(wb))

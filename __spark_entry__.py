@@ -25,6 +25,27 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelism floor for CPU-dense query inputs (optimization guide
+    §2.5 stragglers): the driver tables are single-row-group parquet files,
+    so their scans arrive as ONE split no matter the core count — a
+    byte-sized splitter cannot divide below row-group granularity — and
+    every in-row-heavy map stage downstream (32 md5s per gram for minhash
+    signatures, per-subspace PQ encode folds, token k-gram span hashing)
+    serializes onto that single task (measured: 1.4 s of a 2.4 s
+    dedup_minhash_lsh leg on one core with 31 idle). One narrow
+    round-robin exchange of the input rows spreads that work; the floor
+    only lifts partition counts BELOW defaultParallelism, so multi-split
+    scans at real scale skip the exchange entirely. Row placement cannot
+    change any declared query's result — all are partition-invariant
+    aggregations/joins (the strict oracle gate re-certifies value
+    equality after this change)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
@@ -810,7 +831,9 @@ def _q_golden_records(spark, sf_dir):
 def _q_minhash_lsh(spark, sf_dir):
     from spacy_ann_linker_spark.extras.dedup import minhash_lsh_pairs
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    # _spread: the 32-min-aggregate signature stage computes 32 md5s per
+    # gram row in the scan's map stage — single-split input serializes it
+    docs = _spread(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=8)
 
 
@@ -819,7 +842,7 @@ def _q_lsh_verified_jaccard(spark, sf_dir):
     verify on pairs only (precision exact, recall = LSH collision prob)."""
     from spacy_ann_linker_spark.extras.dedup import lsh_verified_jaccard_pairs
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    docs = _spread(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
     out = lsh_verified_jaccard_pairs(
         docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5
     )
@@ -843,7 +866,9 @@ def _q_simhash_lsh(spark, sf_dir):
 def _q_ivf_topk(spark, sf_dir):
     from spacy_ann_linker_spark.extras.similarity_search import ivf_topk
 
-    emb = _emb_double(spark, sf_dir)
+    # _spread: the centroid-assign projection folds 16 cosines per row in
+    # the scan's map stage — single-split input serializes it (see _spread)
+    emb = _spread(_emb_double(spark, sf_dir))
     queries = emb.filter(F.col("vec_id") < 10)
     out = ivf_topk(emb, queries, n_centroids=16, nprobe=4, k=3)
     return out.select("query_id", "item_id", F.round("cosine", R).alias("cosine"), "rank")
@@ -862,7 +887,7 @@ def _q_pq_topk(spark, sf_dir):
         pq_topk,
     )
 
-    emb = _emb_double(spark, sf_dir)
+    emb = _spread(_emb_double(spark, sf_dir))
     cb = fit_pq_codebooks(emb, m=4, k=8)
     enc = pq_encode(emb, cb, m=4, k=8)
     out = pq_topk(emb.filter(F.col("vec_id") < 10), enc, cb, 3, 4, 8)
@@ -876,7 +901,7 @@ def _q_ivfpq_topk(spark, sf_dir):
     seeded (oracle-replayable) centroid/codebook paths."""
     from spacy_ann_linker_spark.extras.similarity_search import ivfpq_topk
 
-    emb = _emb_double(spark, sf_dir)
+    emb = _spread(_emb_double(spark, sf_dir))
     queries = emb.filter(F.col("vec_id") < 10)
     out = ivfpq_topk(
         emb, queries, n_centroids=16, nprobe=4, k_neighbors=3, m=4, kcode=8
@@ -1602,7 +1627,10 @@ def _q_duplicate_spans(spark, sf_dir):
     one gaps-and-islands window per doc."""
     from spacy_ann_linker_spark.extras.dedup import duplicate_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # _spread: per-row token 5-gram hashing is the dominant map cost
+    docs = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     return duplicate_spans(docs, "doc_id", "text", k=5, min_count=2)
 
 
@@ -1613,7 +1641,9 @@ def _q_strip_duplicate_spans(spark, sf_dir):
     kept (gate on n_removed < n_tokens)."""
     from spacy_ann_linker_spark.extras.dedup import strip_duplicate_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     return strip_duplicate_spans(docs, "doc_id", "text", k=5)
 
 

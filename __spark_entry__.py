@@ -763,7 +763,7 @@ def _q_dedup_clusters(spark, sf_dir):
     from spacy_ann_linker_spark.cluster.cc import connected_components_long
     from spacy_ann_linker_spark.extras.dedup import ngram_jaccard_pairs
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    docs = _spread(_docs(spark, sf_dir).filter(F.col("doc_id") < 150))
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return connected_components_long(edges).select(
@@ -810,7 +810,7 @@ def _q_golden_records(spark, sf_dir):
     from spacy_ann_linker_spark.cluster.survivorship import golden_records
     from spacy_ann_linker_spark.extras.dedup import ngram_jaccard_pairs
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    docs = _spread(_docs(spark, sf_dir).filter(F.col("doc_id") < 150))
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = connected_components_long(edges).select(
@@ -1572,7 +1572,10 @@ def _q_token_pmi(spark, sf_dir):
     self-join."""
     from spacy_ann_linker_spark.extras.profiling import token_pmi
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # _spread: in-row per-doc pair generation is the dominant map cost
+    docs = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     out = token_pmi(docs, min_df=5, min_pair_count=5)
     return out.select("tok_a", "tok_b", "n_pair", F.round("pmi", R).alias("pmi"))
 
@@ -1659,7 +1662,7 @@ def _q_containment_pairs(spark, sf_dir):
     # ground truth (inverted-index self-join, quadratic per shared gram);
     # full-corpus containment at sf0.1 measured 637 s as a bench leg. The
     # LSH family is the scale path, same contract as dedup_ngram_jaccard.
-    docs = (
+    docs = _spread(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
         .filter(F.col("doc_id") < 300)
@@ -2133,7 +2136,7 @@ def _q_mutual_best_pairs(spark, sf_dir):
     from spacy_ann_linker_spark.cluster.matching import mutual_best_pairs
     from spacy_ann_linker_spark.extras.dedup import ngram_jaccard_pairs
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    docs = _spread(_docs(spark, sf_dir).filter(F.col("doc_id") < 300))
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
     out = mutual_best_pairs(pairs, score_col="jaccard")
     return out.select("id_a", "id_b", F.round("score", R).alias("score"))

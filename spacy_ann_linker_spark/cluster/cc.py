@@ -17,7 +17,7 @@ checksum fixpoint, which adds one tiny aggregate action per round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -57,6 +57,27 @@ def _checksum(edges: DataFrame) -> tuple:
         "count(1) as n", "bit_xor(xxhash64(src, dst)) as s"
     ).collect()[0]
     return (row["n"], row["s"])
+
+
+def _observed_cut(df: DataFrame, cut, rnd: int) -> tuple:
+    """Materialize a round's edge set through `cut` AND deliver its
+    convergence checksum from the SAME action via observe() — the
+    standalone _checksum job re-scanned the just-materialized edge set
+    once per round, which locally is one extra job of fixed latency per
+    round and at cluster scale one extra full read of the round's edge
+    set. CollectMetrics accumulates during the checkpoint/write job, so
+    obs.get returns immediately after the eager cut. Same (count,
+    bit_xor) tuple as _checksum (bit_xor over an empty set is NULL in
+    both forms)."""
+    obs = Observation(f"cc_cksum_r{rnd}")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(src, dst))").alias("s"),
+    )
+    out = cut(observed, rnd)
+    row = obs.get
+    return out, (row["n"], row["s"])
 
 
 def connected_components_long(
@@ -107,8 +128,7 @@ def connected_components_long(
     # large-star union re-keys by both endpoints).
     prev = None
     for i in range(max_iter):
-        e = _cut(_small_star(_large_star(e)), i + 1)
-        cur = _checksum(e)
+        e, cur = _observed_cut(_small_star(_large_star(e)), _cut, i + 1)
         if cur == prev:
             break
         prev = cur

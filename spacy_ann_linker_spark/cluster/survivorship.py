@@ -31,6 +31,8 @@ All rules break ties deterministically (the oracle replays them exactly):
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,17 +73,63 @@ def golden_records(
             aggs.append(F.expr(f"min_by({c}, {key_col})").alias(c))
     out = df.groupBy(cluster_col).agg(*aggs)
 
-    for c, r in rules.items():
-        if r != "most_frequent":
-            continue
-        counts = (
-            df.filter(F.col(c).isNotNull())
-            .groupBy(cluster_col, c)
-            .agg(F.count(F.lit(1)).alias("_cnt"))
+    mf = [c for c, r in rules.items() if r == "most_frequent"]
+    if mf:
+        # ALL most_frequent columns share ONE pass over df: each input row
+        # explodes into one narrow struct per mf column (only that
+        # column's slot non-null), one groupBy((cluster, col-slot, value))
+        # counts every (column, value) jointly, and one min_by per
+        # (cluster, column) picks the modes — the per-column loop scanned
+        # the (possibly cluster-assignment-joined) input once more for
+        # EVERY most_frequent column and paid two exchanges + one join
+        # each. Ordering stays per-column exact: within a _ci group the
+        # other value slots are constant NULL, so the struct comparison
+        # reduces to (-count, value) — highest count, then lowest value;
+        # min_by ignores rows whose ordering key is NULL (other columns'
+        # rows), and an all-null column contributes no rows, so its mode
+        # stays NULL through the left join exactly as before.
+        def slot(i: int, j: int, c: str):
+            v = F.col(c) if j == i else F.lit(None).cast(df.schema[mf[j]].dataType)
+            return v.alias(f"_v{j}")
+
+        stacked = (
+            df.select(
+                cluster_col,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("_ci"),
+                                *[slot(i, j, c) for j in range(len(mf))],
+                            )
+                            for i, c in enumerate(mf)
+                        ]
+                    )
+                ).alias("_s"),
+            )
+            .select(cluster_col, "_s.*")
+            .filter(
+                reduce(
+                    lambda a, b: a | b,
+                    [F.col(f"_v{j}").isNotNull() for j in range(len(mf))],
+                )
+            )
         )
-        mode = counts.groupBy(cluster_col).agg(
-            F.expr(f"min_by({c}, struct(-_cnt, {c}))").alias(c)
+        counts = stacked.groupBy(cluster_col, "_ci", *[f"_v{j}" for j in range(len(mf))]).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        modes = counts.groupBy(cluster_col).agg(
+            *[
+                F.min_by(
+                    F.col(f"_v{i}"),
+                    F.when(
+                        F.col("_ci") == i,
+                        F.struct((-F.col("_cnt")).alias("_nc"), F.col(f"_v{i}").alias("_tv")),
+                    ),
+                ).alias(c)
+                for i, c in enumerate(mf)
+            ]
         )
         # left join: an all-null column has no counts row -> null survives
-        out = out.join(mode, cluster_col, "left")
+        out = out.join(modes, cluster_col, "left")
     return out

@@ -120,6 +120,7 @@ def token_pmi(
     min_df: int = 5,
     max_df: int | None = None,
     min_pair_count: int = 5,
+    pair_partitions: int | None = None,
 ) -> DataFrame:
     """Pointwise mutual information over DOCUMENT-level token co-occurrence
     (Church & Hanks 1990) — the collocation / statistically-associated-pair
@@ -157,7 +158,16 @@ def token_pmi(
     if max_df is not None:
         band = band.filter(F.col("_df") <= max_df)
     survived = toks.join(band, "tok")
-    per_doc = survived.groupBy("doc_id").agg(
+    # explicit hash partitioning at an explicit count ahead of the per-doc
+    # aggregate (pair_partitions, None = defaultParallelism): the pair
+    # explode below runs on THIS exchange's reduce side, and its output is
+    # quadratic in per-doc vocabulary while its input bytes are tiny —
+    # byte-based AQE coalescing would serialize the explode onto 1-2 tasks
+    # (the ngram_jaccard_pairs posting-side discipline; measured 0.9 s on 2
+    # tasks over a 5k-doc corpus with 30 cores idle). The groupBy reuses
+    # the hash(doc_id) layout, so no extra exchange is added.
+    nparts = pair_partitions or df.sparkSession.sparkContext.defaultParallelism
+    per_doc = survived.repartition(nparts, "doc_id").groupBy("doc_id").agg(
         F.array_sort(F.collect_list("tok")).alias("_ts")
     )
     n = F.size("_ts")

@@ -1220,7 +1220,9 @@ def _q_bm25_score(spark, sf_dir):
     indexing operator. Okapi BM25, Lucene non-negative idf."""
     from spacy_ann_linker_spark.extras.retrieval import bm25_score
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
     out = bm25_score(docs, qs)
     return out.select(
@@ -1255,7 +1257,7 @@ def _q_pagerank_docs(spark, sf_dir):
     from spacy_ann_linker_spark.extras.dedup import ngram_jaccard_pairs
     from spacy_ann_linker_spark.extras.graph import pagerank
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    docs = _spread(_docs(spark, sf_dir).filter(F.col("doc_id") < 150))
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -1327,7 +1329,7 @@ def _q_label_propagation(spark, sf_dir):
     from spacy_ann_linker_spark.extras.dedup import ngram_jaccard_pairs
     from spacy_ann_linker_spark.extras.graph import label_propagation
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    docs = _spread(_docs(spark, sf_dir).filter(F.col("doc_id") < 150))
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -1587,7 +1589,9 @@ def _q_qlm_score(spark, sf_dir):
     inverted-index shape (zero-overlap docs never leave their partition)."""
     from spacy_ann_linker_spark.extras.retrieval import qlm_score
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
     out = qlm_score(docs, qs)
     return out.select(
@@ -1603,7 +1607,9 @@ def _q_rrf_fusion(spark, sf_dir):
     rounded scores are (the cross-engine gate already proves those)."""
     from spacy_ann_linker_spark.extras.retrieval import bm25_score, qlm_score, rrf_fuse
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
     fused = rrf_fuse([bm25_score(docs, qs), qlm_score(docs, qs)], k=60, score_round=R)
     return fused.select(

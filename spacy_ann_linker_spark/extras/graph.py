@@ -97,34 +97,45 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    # the dangling-node SET is static (only its rank mass changes per round)
+    # the dangling-node SET is static (only its rank mass changes per
+    # round); when it is statically EMPTY — every symmetrized pair graph,
+    # since each node then has an out-edge — the per-round dangling-mass
+    # aggregate (a full scan of the rank vector + a broadcast per
+    # iteration) is a constant 0.0 and is skipped entirely. x + 0.0 is
+    # IEEE-identical to x for the non-negative inflows here, so the
+    # result is bit-equal to the general path (oracle-verified).
     dangling_nodes = _cut(
         nodes.join(
             e_deg.select(F.col("src").alias("node")), "node", "left_anti"
         ),
         "dangling",
     )
+    has_dangling = dangling_nodes.limit(1).count() > 0
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(n_iter):
-        dangling = (
-            ranks.join(dangling_nodes, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
         contrib = (
             e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
+        update = nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+        if has_dangling:
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            )
+            update = update.crossJoin(F.broadcast(dangling))
+            dm_over_n = F.col("dm") / n
+        else:
+            dm_over_n = F.lit(0.0)
         ranks = _cut(
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
+            update.select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("dm") / n)
+                    * (F.coalesce("inflow", F.lit(0.0)) + dm_over_n)
                 ).alias("rank"),
             ),
             # no explicit repartition: the join already hash-partitions by
@@ -179,18 +190,25 @@ def label_propagation(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")),
         "edges",
     )
+    # the clamped seed label RIDES the round table as a third column — the
+    # seeds frame would otherwise re-join onto every round's output (a
+    # static-table join per iteration, one extra hash join of the full
+    # node set each round at any scale); carrying the 1-column payload on
+    # the (node, label) vector costs only its bytes in the round cut
     seeds = _cut(
         nodes.select(
             F.col(node_col).alias("node"), F.col(label_col).alias("seed_label")
         ),
         "seeds",
     )
-    cur = seeds.select("node", F.col("seed_label").alias("label"))
+    cur = seeds.select(
+        "node", F.col("seed_label").alias("label"), "seed_label"
+    )
     for i in range(n_iter):
         support = (
             e.join(
-                cur.filter(F.col("label").isNotNull()).withColumnRenamed(
-                    "node", "src"
+                cur.filter(F.col("label").isNotNull()).select(
+                    F.col("node").alias("src"), "label"
                 ),
                 "src",
             )
@@ -205,14 +223,14 @@ def label_propagation(
             ).alias("new_label")
         )
         cur = _cut(
-            seeds.join(cur.select("node", "label"), "node")
-            .join(best, "node", "left")
+            cur.join(best, "node", "left")
             .select(
                 "node",
                 F.coalesce(
                     "seed_label", "new_label", "label"
                 ).alias("label"),
+                "seed_label",
             ),
             f"round_{i}",
         )
-    return cur
+    return cur.select("node", "label")

@@ -112,6 +112,15 @@ def pagerank(
     )
     has_dangling = dangling_nodes.limit(1).count() > 0
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    # dangling-free graphs cut lineage every SECOND iteration: the rank
+    # vector is then referenced exactly once per round (the contrib join),
+    # so a depth-2 plan re-executes nothing, and every skipped cut saves a
+    # materialization barrier — locally a driver action + its AQE jobs, at
+    # scale a full rank-vector write+read on the reliable path. With
+    # dangling nodes the vector feeds TWO consumers per round (contrib +
+    # dangling mass), so the per-iteration cut stays: an uncut round would
+    # re-execute its join+aggregate once per consumer.
+    cut_stride = 1 if has_dangling else 2
     for i in range(n_iter):
         contrib = (
             e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -129,20 +138,19 @@ def pagerank(
             dm_over_n = F.col("dm") / n
         else:
             dm_over_n = F.lit(0.0)
-        ranks = _cut(
-            update.select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce("inflow", F.lit(0.0)) + dm_over_n)
-                ).alias("rank"),
-            ),
+        ranks = update.select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce("inflow", F.lit(0.0)) + dm_over_n)
+            ).alias("rank"),
+        )
+        if (i + 1) % cut_stride == 0 or i == n_iter - 1:
             # no explicit repartition: the join already hash-partitions by
             # node and AQE coalesces small post-shuffle partitions — an
             # extra exchange per round costs more than it saves
-            f"round_{i}",
-        )
+            ranks = _cut(ranks, f"round_{i}")
     return ranks
 
 

@@ -55,6 +55,22 @@ from pyspark.sql import functions as F
 from spacy_ann_linker_spark.extras.text_analysis import _words
 
 
+def _prep_toks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared (doc_id, dl, toks) prepared frame for every scorer.
+
+    The id column is aliased only when it actually renames: an identity
+    Alias survives optimization in one Union branch but is stripped in the
+    other after the union's expression-id dedup, and that one leftover
+    Alias node alone defeats exchange reuse (sameResult is structural)
+    between two scorers over the same corpus in one fused plan — which is
+    exactly the rrf_fuse / ranking_metrics shape where the corpus
+    tokenize -> explode -> posting-shuffle subtree should execute once."""
+    did = F.col(id_col) if id_col == "doc_id" else F.col(id_col).alias("doc_id")
+    return docs.select(did, _words(F.col(text_col)).alias("toks")).select(
+        "doc_id", F.size("toks").alias("dl"), "toks"
+    )
+
+
 def bm25_score(
     docs: DataFrame,
     queries: DataFrame,
@@ -76,9 +92,7 @@ def bm25_score(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("toks")
-    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    toks = _prep_toks(docs, id_col, text_col)
 
     # corpus-level scalars: N docs and mean doc length, from size() in-row
     # — no explode on this branch. Tokenless docs count toward N/avgdl:
@@ -183,19 +197,27 @@ def qlm_score(
     score); score is NEGATIVE (a log-probability), higher = better."""
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("toks")
-    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    toks = _prep_toks(docs, id_col, text_col)
 
     # corpus scalar: total token count, from size() in-row — no explode
     corpus = toks.agg(F.sum("dl").cast("double").alias("total_tokens"))
 
-    qterms = queries.select(
+    qpairs = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(_words(F.col(query_text_col))).alias("term"),
-    ).groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    qterms = qpairs.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
     qlens = qterms.groupBy("query_id").agg(F.sum("qtf").alias("qlen"))
-    qset = qterms.select("term").distinct()
+    # qset derives through distinct (query_id, term) pairs — NOT through the
+    # counted qterms — so its canonical plan matches bm25_score's qset
+    # exactly. When both scorers run over the same docs/queries frames in
+    # ONE fused query (rrf_fuse, ranking_metrics), the whole
+    # scan -> tokenize -> explode -> broadcast-filter -> (doc_id, term)
+    # exchange subtree then canonicalizes identically across the two
+    # pipelines and executes ONCE via exchange/stage reuse, instead of the
+    # corpus paying a second full scan + posting shuffle for the second
+    # scorer. Values unchanged: the distinct term set is the same either way.
+    qset = qpairs.distinct().select("term").distinct()
 
     words = toks.select("doc_id", "dl", F.explode("toks").alias("term")).join(
         F.broadcast(qset), "term"
@@ -348,9 +370,7 @@ def rocchio_prf_terms(
     feedback df would score stopwords high). Everything joins by
     broadcast of query-sized sides; the corpus is scanned, never shuffled
     whole. -> (query_id, term, weight, rank <= fb_terms)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("toks")
-    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    toks = _prep_toks(docs, id_col, text_col)
     corpus = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").cast("double").alias("avgdl"),
@@ -491,9 +511,7 @@ def bm25_prf_score(
     — the cc.py caveat — and the tables are query-sized, so re-running on
     executor loss is cheap).
     -> (query_id, doc_id, n_matched_terms, score) over the expanded set."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("toks")
-    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    toks = _prep_toks(docs, id_col, text_col)
     corpus = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").cast("double").alias("avgdl"),

@@ -46,6 +46,22 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
+def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Local literal rows as a JVM LocalRelation instead of a pickled
+    PythonRDD. `createDataFrame(list)` plans as LogicalRDD: every action
+    that scans it (e.g. each broadcast build of a query set) round-trips a
+    Python worker per parallelize slice — measured ~8 CPU-s / +0.3 s PER
+    ACTION for a 9-row broadcast side vs 1.1 CPU-s through the Arrow/pandas
+    route, which lands as a LocalRelation (pure JVM at execution time,
+    identical rows + schema; guide §4 "eliminate the Python boundary")."""
+    import pandas as pd
+
+    cols = [c.strip().split()[0] for c in schema.split(",")]
+    return spark.createDataFrame(
+        pd.DataFrame([tuple(r) for r in rows], columns=cols), schema=schema
+    )
+
+
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
@@ -1223,7 +1239,7 @@ def _q_bm25_score(spark, sf_dir):
     docs = _spread(
         spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
-    qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qs = _local_df(spark, _BM25_QUERIES, "query_id string, query_text string")
     out = bm25_score(docs, qs)
     return out.select(
         "query_id", "doc_id", "n_matched_terms", F.round("score", R).alias("score")
@@ -1240,7 +1256,7 @@ def _q_bm25_prf(spark, sf_dir):
     from spacy_ann_linker_spark.extras.retrieval import bm25_prf_score
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qs = _local_df(spark, _BM25_QUERIES, "query_id string, query_text string")
     out = bm25_prf_score(docs, qs, fb_docs=3, fb_terms=5, beta=0.5,
                          truncate_plan=True)
     return out.select(
@@ -1531,8 +1547,9 @@ def _q_ranking_metrics(spark, sf_dir):
     from spacy_ann_linker_spark.extras.retrieval import bm25_score, qlm_score
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
-    n_terms = spark.createDataFrame(
+    qs = _local_df(spark, _BM25_QUERIES, "query_id string, query_text string")
+    n_terms = _local_df(
+        spark,
         [(qid, len(set(txt.split()))) for qid, txt in _BM25_QUERIES],
         "query_id string, _nt int",
     )
@@ -1592,7 +1609,7 @@ def _q_qlm_score(spark, sf_dir):
     docs = _spread(
         spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
-    qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qs = _local_df(spark, _BM25_QUERIES, "query_id string, query_text string")
     out = qlm_score(docs, qs)
     return out.select(
         "query_id", "doc_id", "n_matched_terms", F.round("score", R).alias("score")
@@ -1610,7 +1627,7 @@ def _q_rrf_fusion(spark, sf_dir):
     docs = _spread(
         spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
-    qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qs = _local_df(spark, _BM25_QUERIES, "query_id string, query_text string")
     fused = rrf_fuse([bm25_score(docs, qs), qlm_score(docs, qs)], k=60, score_round=R)
     return fused.select(
         "query_id", "doc_id", "n_systems", F.round("rrf_score", R).alias("rrf_score")

@@ -41,6 +41,13 @@ BENCH_QUERIES = [
 ]
 
 
+def _cgroup_cpu():
+    try:
+        return float(open("/sys/fs/cgroup/cpuacct/cpuacct.usage").read()) * 1e-9
+    except OSError:
+        return None
+
+
 def main():
     args = [a for a in sys.argv[1:]]
     reps = 1
@@ -52,18 +59,27 @@ def main():
     spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     qs = e.queries()
     out = {}
+    cpus = {}
     for name in names:
         best = None
+        best_cpu = None
         for _ in range(reps):
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+            c0 = _cgroup_cpu()
             t0 = time.perf_counter()
             qs[name](spark, SF).write.format("noop").mode("overwrite").save()
             sec = time.perf_counter() - t0
+            csec = (_cgroup_cpu() - c0) if c0 is not None else None
             best = sec if best is None else min(best, sec)
+            if csec is not None:
+                best_cpu = csec if best_cpu is None else min(best_cpu, csec)
         spark.sparkContext.setJobDescription(None)
         out[name] = round(best, 3)
-        print(f"# {name}: {out[name]}s", file=sys.stderr)
+        if best_cpu is not None:
+            cpus[name] = round(best_cpu, 1)
+        print(f"# {name}: {out[name]}s cpu {cpus.get(name)}s", file=sys.stderr)
     print(json.dumps({"metric": "bench_extra_seconds", "queries": out,
+                      "cpu_sec": cpus,
                       "value": round(sum(out.values()), 3), "unit": "sec",
                       "reps": reps, "sf": SF}))
 

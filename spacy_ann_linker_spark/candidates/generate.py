@@ -226,13 +226,14 @@ def _candidate_branches(
             .join(_bc(alias_lower), F.col("_tl") == F.col("_al"), "inner")
             .select("text", "alias", F.lit(1.0).alias("similarity"))
         )
+        # anti-join against the SAME alias_lower relation as the inner join
+        # above (duplicates on the right of a left_anti are irrelevant): the
+        # two broadcast subtrees then canonicalize identically, so one
+        # broadcast build is reused instead of a second distinct+broadcast
+        # job per link call.
         rest = (
             rest.withColumn("_tl", F.lower("text"))
-            .join(
-                _bc(alias_lower.select("_al").distinct()),
-                F.col("_tl") == F.col("_al"),
-                "left_anti",
-            )
+            .join(_bc(alias_lower), F.col("_tl") == F.col("_al"), "left_anti")
             .drop("_tl")
         )
 

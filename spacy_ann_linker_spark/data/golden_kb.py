@@ -31,6 +31,19 @@ def read_resource_jsonl(name: str) -> list[dict]:
     return doc["entities"] if "entities" in name else doc["aliases"]
 
 
+def _local_relation(spark: SparkSession, rows: list[dict], cols, schema) -> DataFrame:
+    """Fixture rows as a JVM LocalRelation (Arrow/pandas route). A
+    createDataFrame over a plain python list plans as a pickled LogicalRDD
+    whose every scan — e.g. each broadcast build of the alias tables in a
+    link plan — round-trips a Python worker per parallelize slice
+    (measured ~8 CPU-s per action); the pandas route hands Spark one Arrow
+    batch instead, identical rows + schema."""
+    import pandas as pd
+
+    pdf = pd.DataFrame([tuple(r.get(c) for c in cols) for r in rows], columns=cols)
+    return spark.createDataFrame(pdf, schema)
+
+
 def load_entities(spark: SparkSession, path: str | None = None) -> DataFrame:
     """S1: JSONL entity scan with explicit schema (cli/create_index.py:57).
     With a path, reads via spark.read.json and attaches `_file_pos` at scan
@@ -42,9 +55,7 @@ def load_entities(spark: SparkSession, path: str | None = None) -> DataFrame:
         return with_file_order(spark.read.schema(ENTITY_SCHEMA).json(path))
     rows = _read_golden_kb()["entities"]
     cols = [f.name for f in ENTITY_SCHEMA.fields]
-    return spark.createDataFrame(
-        [tuple(r.get(c) for c in cols) for r in rows], ENTITY_SCHEMA
-    )
+    return _local_relation(spark, rows, cols, ENTITY_SCHEMA)
 
 
 def load_aliases(spark: SparkSession, path: str | None = None) -> DataFrame:
@@ -53,6 +64,4 @@ def load_aliases(spark: SparkSession, path: str | None = None) -> DataFrame:
         return spark.read.schema(ALIAS_SCHEMA).json(path)
     rows = _read_golden_kb()["aliases"]
     cols = [f.name for f in ALIAS_SCHEMA.fields]
-    return spark.createDataFrame(
-        [tuple(r.get(c) for c in cols) for r in rows], ALIAS_SCHEMA
-    )
+    return _local_relation(spark, rows, cols, ALIAS_SCHEMA)

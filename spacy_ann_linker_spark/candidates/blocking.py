@@ -267,9 +267,8 @@ def token_block_pairs(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array_distinct(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                    lambda w: w != "",
+                F.array_remove(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
                 )
             )
         ).alias("tok"),

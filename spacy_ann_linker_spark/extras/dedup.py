@@ -298,9 +298,8 @@ def prefix_filter_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                    lambda w: w != "",
+                F.array_remove(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
                 )
             )
         ).alias("tok"),
@@ -1080,9 +1079,8 @@ def prefix_filter_cosine_pairs(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                    lambda w: w != "",
+                F.array_remove(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
                 )
             )
         ).alias("tok"),

@@ -23,8 +23,15 @@ LANG_STOPWORDS = {
 
 def _words(text_col):
     """lowercased whitespace tokens, empties removed (matches
-    regexp_split_to_array(lower(x), '\\s+') + filter in the oracle)."""
-    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != "")
+    regexp_split_to_array(lower(x), '\\s+') + filter in the oracle).
+
+    array_remove, not a filter() lambda: both drop exactly the ""
+    elements (verified element-identical incl. empty/whitespace/NULL
+    inputs), but the higher-order filter evaluates its LambdaFunction
+    per element in interpreted mode while array_remove is a plain codegen
+    expression — ~2x on the tokenize pass every retrieval/text operator
+    runs over the corpus."""
+    return F.array_remove(F.split(F.lower(text_col), r"\s+"), "")
 
 
 def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -285,7 +292,7 @@ def gopher_quality_flags(
     from spacy_ann_linker_spark.extras.dedup import normalize
 
     words = F.split(normalize(F.col(text_col)), " ")
-    n_words = F.size(F.filter(words, lambda w: w != ""))
+    n_words = F.size(F.array_remove(words, ""))
     total_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
     mean_len = total_len / F.greatest(n_words, F.lit(1))
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))

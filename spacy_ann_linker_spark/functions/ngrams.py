@@ -61,7 +61,9 @@ def char_wb_ngrams_col(text_col, n: int = 3):
     whitespace set Python's str.split() splits on (NBSP, thin space, ...);
     without it Java's ASCII \\s would vectorize U+00A0-bearing text
     differently from the sklearn reference."""
-    words = F.filter(F.split(F.lower(text_col), r"(?U)\s+"), lambda w: w != "")
+    # array_remove, not filter(lambda): element-identical "" removal, but
+    # a codegen expression instead of a per-element interpreted lambda
+    words = F.array_remove(F.split(F.lower(text_col), r"(?U)\s+"), "")
 
     def word_grams(w):
         pad = F.concat(F.lit(" "), w, F.lit(" "))

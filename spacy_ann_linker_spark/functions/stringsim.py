@@ -329,7 +329,7 @@ damerau_levenshtein_udf = make_damerau_levenshtein_udf()
 
 def _tokens(col):
     return F.array_distinct(
-        F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda w: w != "")
+        F.array_remove(F.split(F.lower(col), "[^a-z0-9]+"), "")
     )
 
 

@@ -57,6 +57,25 @@ def char_ngrams_col(text_col, n: int = 3):
     return F.array_distinct(grams)
 
 
+def _grams_with_size(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, sz, g) posting rows with the doc's DISTINCT-gram count
+    riding each row IN-ROW. The explode(array(<expr>)) Generate barrier
+    materializes the gram array exactly once per record (CollapseProject
+    would otherwise re-evaluate the whole ngram expression separately for
+    size() and for explode() — the known ~50x trap documented on the
+    winnowing operators), so the per-doc size costs nothing — where the
+    previous count-over-doc_id window paid a full exchange + sort of the
+    posting stream before the join's own gram exchange. Requires unique
+    ids per input row (both the window and in-row forms assume it)."""
+    barrier = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(char_ngrams_col(F.col(text_col), n))).alias("_arr"),
+    )
+    return barrier.select(
+        "doc_id", F.size("_arr").alias("sz"), F.explode("_arr").alias("g")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -69,20 +88,14 @@ def ngram_jaccard_pairs(
     jaccard > threshold. Inverted-index self-join: |A ∩ B| via groupBy on
     shared grams, |A ∪ B| = |A| + |B| - |A ∩ B|.
 
-    Each posting row carries its doc's gram-set size (one window over the
-    posting table, not a separate sizes aggregate joined back to the pair
-    stream twice — that shape re-executed the gram subtree per join side
-    and re-shuffled the pair stream by each id). Both posting sides are
+    Each posting row carries its doc's gram-set size IN-ROW
+    (_grams_with_size — no window, no sizes join). Both posting sides are
     hash-partitioned on the gram at an explicit count (join_partitions,
     None = defaultParallelism) — the prefix_filter_jaccard_pairs
     exploding-join discipline: candidate output >> posting input, so
     byte-based AQE coalescing would serialize the pair aggregation onto a
     couple of tasks."""
-    from pyspark.sql import Window
-
-    grams = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(char_ngrams_col(F.col(text_col), n)).alias("g")
-    ).withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    grams = _grams_with_size(df, id_col, text_col, n)
     nparts = join_partitions or df.sparkSession.sparkContext.defaultParallelism
     a = grams.select(
         F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "g"
@@ -1002,16 +1015,12 @@ def overlap_containment_pairs(
 
     Scale shape: identical to ngram_jaccard_pairs — inverted-index
     self-join on shared grams + one pair groupBy (sizes ride the posting
-    rows via one window, explicit join partitioning spreads the exploding
-    probe; see ngram_jaccard_pairs); quadratic only PER SHARED
-    GRAM, with the same LSH escape hatch at corpus scale. -> (id_a, id_b,
-    contained_id, overlap), overlap > threshold, id_a < id_b."""
-    from pyspark.sql import Window
-
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(char_ngrams_col(F.col(text_col), n)).alias("g"),
-    ).withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    rows IN-ROW via _grams_with_size, explicit join partitioning spreads
+    the exploding probe; see ngram_jaccard_pairs); quadratic only PER
+    SHARED GRAM, with the same LSH escape hatch at corpus scale.
+    -> (id_a, id_b, contained_id, overlap), overlap > threshold,
+    id_a < id_b."""
+    grams = _grams_with_size(df, id_col, text_col, n)
     nparts = df.sparkSession.sparkContext.defaultParallelism
     a = grams.select(
         F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "g"
